@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Headline benchmark: online FastSLAM frames/s per chip on the corridor
+config (BASELINE.json config 1), vs the measured reference-class pure-numpy
+baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The baseline denominator is the pure-Python/numpy FastSLAM in
+`parakeet_slam_tpu/baseline/numpy_fastslam.py` (the reference publishes no
+numbers and its mount was empty — see BASELINE.md). Re-measure it with
+  python bench.py --measure-baseline
+which rewrites the stored constant below. `vs_baseline` is therefore
+(our frames/s) / (reference-class CPU frames/s); the target is >=10.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+# Measured on this container 2026-08-17 (see BASELINE.md): pure-numpy
+# sequential FastSLAM, corridor config (64 particles, 100 landmarks, 16
+# obs/frame), first 100 steps (map ~32 landmarks/particle — steady state is
+# ~90, i.e. slower, so this denominator is GENEROUS to the reference).
+NUMPY_BASELINE_FPS = 2.16
+
+
+def measure_baseline(steps: int = 100) -> float:
+    import numpy as np
+
+    from parakeet_slam_tpu.baseline.numpy_fastslam import NumpyFastSLAM
+    from parakeet_slam_tpu.data import make_corridor
+
+    sim = make_corridor(num_landmarks=100, num_steps=500, max_obs=16, seed=7)
+    slam = NumpyFastSLAM(
+        num_particles=64, motion_noise=(0.3, 0.1, 0.3, 0.1),
+        meas_noise=(0.1, 0.03), sig_noise=0.5,
+        max_range=6.5, fov_half_angle=2.5, seed=0,
+    )
+    # Warm the map first so we time the steady state, not the cheap
+    # landmark-poor opening frames.
+    warm = 50
+    for i in range(warm):
+        slam.motion_update(sim.odom[i])
+        slam.measurement_update(sim.obs_z[i], sim.obs_sig[i], sim.obs_valid[i])
+    t0 = time.time()
+    for i in range(warm, warm + steps):
+        slam.motion_update(sim.odom[i])
+        slam.measurement_update(sim.obs_z[i], sim.obs_sig[i], sim.obs_valid[i])
+    return steps / (time.time() - t0)
+
+
+def measure_tpu(num_steps: int = 500, use_pallas: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from parakeet_slam_tpu.core.config import FilterConfig
+    from parakeet_slam_tpu.data import make_corridor
+    from parakeet_slam_tpu.eval import ate_rmse
+    from parakeet_slam_tpu.filter import FastSLAM, run_sequence
+
+    sim = make_corridor(num_landmarks=100, num_steps=num_steps, max_obs=16, seed=7)
+    cfg = FilterConfig(
+        num_particles=64, max_landmarks=192, max_observations=16, sig_dim=3,
+        motion_noise=(0.3, 0.1, 0.3, 0.1), meas_noise=(0.1, 0.03), sig_noise=0.5,
+        max_range=6.5, fov_half_angle=2.5, use_pallas=use_pallas,
+    )
+    try:
+        slam = FastSLAM(cfg)
+    except Exception:
+        cfg = cfg.replace(use_pallas=False) if hasattr(cfg, "replace") else cfg
+        slam = FastSLAM(cfg)
+
+    args = (
+        jnp.asarray(sim.odom), jnp.asarray(sim.obs_z),
+        jnp.asarray(sim.obs_sig), jnp.asarray(sim.obs_valid),
+        jax.random.PRNGKey(0),
+    )
+    state0 = slam.init_state(init_pose=jnp.asarray(sim.gt_pose[0]))
+
+    # compile + correctness pass
+    _, est, _ = run_sequence(slam, state0, *args)
+    est = jax.block_until_ready(est)
+    ate = float(ate_rmse(est[:, :2], sim.gt_pose[:, :2]))
+
+    # timed passes
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        _, est, _ = run_sequence(slam, state0, *args)
+        jax.block_until_ready(est)
+    dt = (time.time() - t0) / reps
+    return {"fps": num_steps / dt, "ate": ate, "device": str(jax.devices()[0])}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure-baseline", action="store_true")
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--no-pallas", action="store_true")
+    args = ap.parse_args()
+
+    if args.measure_baseline:
+        fps = measure_baseline()
+        print(f"numpy baseline fps: {fps:.3f}", file=sys.stderr)
+        print(json.dumps({"metric": "baseline_fps", "value": fps, "unit": "frames/s"}))
+        return
+
+    r = measure_tpu(args.steps, use_pallas=not args.no_pallas)
+    print(
+        f"device={r['device']} ate={r['ate']:.3f} fps={r['fps']:.1f} "
+        f"baseline={NUMPY_BASELINE_FPS}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "corridor_online_fastslam_fps_per_chip",
+                "value": round(r["fps"], 2),
+                "unit": "frames/s",
+                "vs_baseline": round(r["fps"] / NUMPY_BASELINE_FPS, 2),
+                "ate_rmse_m": round(r["ate"], 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Typed, hashable run configuration.
+
+Reference used ROS params + launch files (SURVEY.md §6); here one frozen
+dataclass tree per run, loadable from YAML with CLI-style dotted overrides.
+Frozen + tuple-valued so configs are hashable and safe as `static_argnums`
+to `jax.jit` (each distinct config compiles its own specialized program).
+The 5 driver benchmark configs (BASELINE.json:6-12) ship as YAML presets in
+`configs/`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """FastSLAM particle-filter configuration (SURVEY.md §3 contract)."""
+
+    num_particles: int = 64
+    max_landmarks: int = 128
+    max_observations: int = 16   # per-frame observation capacity Zmax
+    lm_dim: int = 2              # landmark position dim (2 planar, 3 spatial)
+    obs_dim: int = 2             # geometric measurement dim
+    sig_dim: int = 0             # appearance signature dim (0 = none)
+    desc_words: int = 0          # packed 32-bit descriptor words (8 = 256-bit BRIEF)
+    pose_dim: int = 3            # 3 = SE(2) [x,y,th]; 7 = SE(3) [t,q]
+
+    motion_model: str = "odometry_2d"        # filter/models.py registry key
+    measurement_model: str = "range_bearing_2d"
+
+    # Motion noise alphas (odometry model, Probabilistic Robotics table 5.6).
+    motion_noise: tuple[float, ...] = (0.05, 0.05, 0.05, 0.05)
+    # Measurement noise R diagonal (geometric part).
+    meas_noise: tuple[float, ...] = (0.1, 0.03)
+    # Appearance signature noise (diagonal, scalar applied per channel).
+    sig_noise: float = 0.5
+    # Descriptor Hamming->loglik weight (bits of distance penalized per unit).
+    desc_weight: float = 0.05
+
+    # Data association: create a new landmark when best log-likelihood falls
+    # below this (log p0 in SURVEY.md §3 step 2).
+    new_landmark_loglik: float = -8.0
+    # Initial covariance inflation for new landmarks (multiplies H^-1 R H^-T).
+    init_cov_inflation: float = 1.0
+    # Range assumed for bearing-only init (unobservable depth).
+    init_range_prior: float = 5.0
+    init_range_sigma: float = 2.5
+
+    # Resample when N_eff < resample_frac * P (systematic / low-variance).
+    resample_frac: float = 0.5
+    # Landmark culling: counter decremented when in-FOV but unmatched;
+    # slot freed when counter < 0 (SURVEY.md §3 step 4).
+    cull_enabled: bool = True
+    max_range: float = 10.0      # FOV range gate
+    fov_half_angle: float = 3.15 # FOV bearing gate (rad); > pi = omnidirectional
+
+    use_pallas: bool = False     # route hot loops through Pallas kernels
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Vision frontend: detection + description + matching."""
+
+    detector: str = "fast"           # fast | harris
+    max_features: int = 512          # fixed-capacity keypoint budget
+    fast_threshold: float = 0.08     # intensity contrast threshold (normalized)
+    nms_radius: int = 4
+    descriptor: str = "brief"        # brief (256-bit packed)
+    desc_patch: int = 16             # sampling patch half-extent
+    match_ratio: float = 0.8         # Lowe ratio test
+    camera: str = "pinhole"          # pinhole | stereo | equirect
+    # intrinsics (fx, fy, cx, cy) or (W, H) for equirect
+    intrinsics: tuple[float, ...] = (525.0, 525.0, 319.5, 239.5)
+    baseline: float = 0.0            # stereo baseline (m)
+    image_size: tuple[int, int] = (480, 640)  # (H, W)
+    pyramid_levels: int = 1
+
+
+@dataclass(frozen=True)
+class BackendConfig:
+    """Pose-graph / bundle-adjustment backend."""
+
+    max_keyframes: int = 256
+    max_landmarks: int = 4096
+    max_observations: int = 32768    # BA residual capacity
+    keyframe_translation: float = 0.5  # new keyframe after this much motion
+    keyframe_rotation: float = 0.3
+    gn_iters: int = 10
+    lm_damping_init: float = 1e-4    # Levenberg-Marquardt lambda
+    pcg_iters: int = 50              # reduced-camera-system CG iterations
+    pcg_tol: float = 1e-6
+    huber_delta: float = 2.0         # robust loss on reprojection residuals
+    solver: str = "cholesky"         # cholesky | pcg for the reduced system
+
+
+@dataclass(frozen=True)
+class DistConfig:
+    """Device mesh / sharding (SURVEY.md §2b TPU-native parallelism)."""
+
+    particle_axis: int = 1   # chips along 'ici' axis sharding particles
+    map_axis: int = 1        # hosts along 'dcn' axis sharding landmark blocks
+    mesh_axes: tuple[str, str] = ("dcn", "ici")
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "corridor"        # corridor | tum | kitti | euroc | panoramic
+    path: str = ""
+    num_steps: int = 500
+    num_landmarks: int = 100         # synthetic world size
+    seed: int = 7
+
+
+@dataclass(frozen=True)
+class SLAMConfig:
+    """Top-level run configuration."""
+
+    filter: FilterConfig = field(default_factory=FilterConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    backend: BackendConfig = field(default_factory=BackendConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    name: str = "run"
+    metrics_path: str = ""           # JSONL per-frame metrics ("" = off)
+    checkpoint_every: int = 0        # snapshot every K keyframes (0 = off)
+    checkpoint_dir: str = ""
+
+
+def _to_tuple(x):
+    return tuple(x) if isinstance(x, list) else x
+
+
+def _build(cls, d: dict[str, Any]):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in (
+            "filter", "frontend", "backend", "dist", "data",
+        ):
+            sub_cls = {
+                "filter": FilterConfig, "frontend": FrontendConfig,
+                "backend": BackendConfig, "dist": DistConfig, "data": DataConfig,
+            }[f.name]
+            kwargs[f.name] = _build(sub_cls, v)
+        else:
+            kwargs[f.name] = _to_tuple(v)
+    return cls(**kwargs)
+
+
+def load_config(path: str, overrides: dict[str, Any] | None = None) -> SLAMConfig:
+    """Load a YAML preset; apply dotted-key overrides like
+    {"filter.num_particles": 512}."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    cfg = _build(SLAMConfig, raw)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+def apply_overrides(cfg: SLAMConfig, overrides: dict[str, Any]) -> SLAMConfig:
+    for key, value in overrides.items():
+        parts = key.split(".")
+        cfg = _replace_path(cfg, parts, _to_tuple(value))
+    return cfg
+
+
+def _replace_path(obj, parts, value):
+    if len(parts) == 1:
+        return dataclasses.replace(obj, **{parts[0]: value})
+    sub = getattr(obj, parts[0])
+    return dataclasses.replace(obj, **{parts[0]: _replace_path(sub, parts[1:], value)})

@@ -1,0 +1,3 @@
+from parakeet_slam_tpu.filter import models
+from parakeet_slam_tpu.filter.fastslam import FastSLAM, StepMetrics
+from parakeet_slam_tpu.filter.runner import run_sequence
