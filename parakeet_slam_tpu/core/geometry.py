@@ -186,9 +186,15 @@ def matrix_to_quat(m: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+
+def _safe_norm(w: jax.Array) -> jax.Array:
+    """norm(w) with a finite derivative at w=0 (jacfwd/jacrev through the
+    Lie maps would otherwise produce NaN tangents from d|w|/dw at 0)."""
+    return jnp.sqrt(jnp.sum(w * w, axis=-1) + 1e-24)
+
 def so3_exp_quat(w: jax.Array) -> jax.Array:
     """so(3) tangent [..., 3] -> unit quaternion."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    theta = _safe_norm(w)[..., None]
     small = theta < 1e-8
     theta_safe = jnp.where(small, 1.0, theta)
     half = theta / 2.0
@@ -200,7 +206,7 @@ def so3_log_quat(q: jax.Array) -> jax.Array:
     """Unit quaternion -> so(3) tangent [..., 3]."""
     qn = jnp.where(q[..., 3:4] < 0, -q, q)  # shortest arc
     u, w = qn[..., :3], qn[..., 3]
-    norm_u = jnp.linalg.norm(u, axis=-1)
+    norm_u = _safe_norm(u)
     theta = 2.0 * jnp.arctan2(norm_u, w)
     small = norm_u < 1e-8
     scale = jnp.where(small, 2.0 / jnp.clip(w, 1e-8)[...], theta / jnp.where(small, 1.0, norm_u))
@@ -221,7 +227,7 @@ def _so3_hat(w: jax.Array) -> jax.Array:
 
 def _se3_V(w: jax.Array) -> jax.Array:
     """Left Jacobian of SO(3), V(w) such that t = V @ v for exp."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     small = theta < 1e-6
     th = jnp.where(small, 1.0, theta)
     A = jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(th) / th)
@@ -234,7 +240,7 @@ def _se3_V(w: jax.Array) -> jax.Array:
 
 
 def _se3_V_inv(w: jax.Array) -> jax.Array:
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     small = theta < 1e-6
     th = jnp.where(small, 1.0, theta)
     half = th / 2.0

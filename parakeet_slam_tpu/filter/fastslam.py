@@ -206,12 +206,55 @@ class FastSLAM:
         matched = matched | onehot_best | onehot_free
         return state, matched, do_update | do_alloc
 
+    def _measurement_update_pallas(self, state: ParticleState, obs: Observation):
+        """Route the whole frame through the fused Pallas kernel
+        (`kernels/ekf_update`). Semantics-identical to the XLA path (parity
+        tested in tests/test_ekf_kernel.py)."""
+        from parakeet_slam_tpu.kernels import ekf_update
+
+        c = self.cfg
+        interpret = jax.devices()[0].platform != "tpu"
+        (log_w, lm_mean, lm_cov, lm_sig, lm_valid, lm_count, n_match) = (
+            ekf_update.measurement_update_2d(
+                state.pose, state.log_w, state.lm_mean, state.lm_cov,
+                state.lm_sig, state.lm_valid, state.lm_count,
+                obs.z, obs.sig, obs.valid,
+                sig_dim=c.sig_dim,
+                r_var=(c.meas_noise[0] ** 2, c.meas_noise[1] ** 2),
+                sig_var=c.sig_noise**2,
+                log_p0=c.new_landmark_loglik,
+                init_infl=c.init_cov_inflation,
+                max_range=c.max_range,
+                fov_half=c.fov_half_angle,
+                cull=c.cull_enabled,
+                interpret=interpret,
+            )
+        )
+        state = state.replace(
+            log_w=log_w, lm_mean=lm_mean, lm_cov=lm_cov, lm_sig=lm_sig,
+            lm_valid=lm_valid, lm_count=lm_count,
+        )
+        return state, jnp.mean(n_match)
+
     def measurement_update(
         self, state: ParticleState, obs: Observation, key=None
     ) -> tuple[ParticleState, StepMetrics]:
         """Process a frame's observation batch; cull; adaptively resample."""
+        state, mean_match = self.measurement_core(state, obs)
+        return self._resample_and_metrics(state, obs, mean_match, key)
+
+    def measurement_core(
+        self, state: ParticleState, obs: Observation
+    ) -> tuple[ParticleState, jax.Array]:
+        """Association + EKF updates + map management WITHOUT resampling —
+        purely per-particle, so it runs unchanged inside `shard_map` with
+        the particle axis sharded (dist/sharded_filter.py). Returns
+        (state, mean associated-observation count)."""
         c = self.cfg
         P, L = state.lm_valid.shape
+
+        if c.use_pallas and self.model.name == "range_bearing_2d":
+            return self._measurement_update_pallas(state, obs)
 
         def scan_body(carry, obs_row):
             st, matched, n_match = carry
@@ -234,7 +277,13 @@ class FastSLAM:
             alive = state.lm_valid & (count >= 0)
             state = state.replace(lm_count=count, lm_valid=alive)
 
-        # --- adaptive systematic resampling -------------------------------
+        return state, jnp.mean(n_match)
+
+    def _resample_and_metrics(self, state, obs, mean_match, key):
+        """Shared tail of the measurement update: adaptive systematic
+        resampling + per-frame metrics."""
+        c = self.cfg
+        P = state.num_particles
         ess = state.effective_sample_size()
         need = ess < c.resample_frac * P
         if key is None:
@@ -250,7 +299,7 @@ class FastSLAM:
         metrics = StepMetrics(
             ess=ess,
             num_landmarks=jnp.mean(state.num_landmarks().astype(jnp.float32)),
-            match_frac=jnp.mean(n_match) / n_obs,
+            match_frac=mean_match / n_obs,
             resampled=need,
         )
         return state, metrics

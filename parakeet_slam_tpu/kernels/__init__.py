@@ -1,1 +1,1 @@
-from parakeet_slam_tpu.kernels import resample
+from parakeet_slam_tpu.kernels import ekf_update, match, mathx, resample, resample_pallas, schur

@@ -37,12 +37,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from parakeet_slam_tpu.kernels import mathx
+
 _NEG_INF = -1e30
 _LOG_2PI = math.log(2.0 * math.pi)
 
-
-def _wrap(a):
-    return jnp.arctan2(jnp.sin(a), jnp.cos(a))
+# Mosaic has no atan2 primitive; use the polynomial octant reduction.
+_atan2 = mathx.atan2
+_wrap = mathx.wrap_angle
 
 
 def _kernel(
@@ -54,6 +56,7 @@ def _kernel(
     sig_in_refs_and_rest,
     *,
     num_obs: int,
+    num_landmarks: int,
     sig_dim: int,
     r_var: tuple[float, float],
     sig_var: float,
@@ -71,6 +74,7 @@ def _kernel(
     (logw_o, mx_o, my_o, cxx_o, cxy_o, cyy_o) = out[:6]
     sig_out = out[6 : 6 + sig_dim]
     lv_o, lc_o = out[6 + sig_dim], out[7 + sig_dim]
+    nmatch_o = out[8 + sig_dim]
 
     P, L = mx_ref.shape
     px = pose_ref[:, 0:1]   # [P, 1]
@@ -78,6 +82,12 @@ def _kernel(
     pth = pose_ref[:, 2:3]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    # Lanes beyond the real landmark capacity are padding: never associate
+    # into them, never allocate them. (Mosaic argmax tie-breaking also
+    # differs from interpret mode, so all index selection below is explicit
+    # first-match lane-min — deterministic on every backend.)
+    real_lane = lane < num_landmarks
+    BIG_LANE = jnp.int32(2**30)
 
     r11, r22 = r_var
     state0 = (
@@ -88,10 +98,11 @@ def _kernel(
         lv_ref[:, :],                       # float32 0/1
         lc_ref[:, :],                       # float32 counts
         jnp.zeros((P, L), jnp.float32),     # matched mask
+        jnp.zeros((P, 1), jnp.float32),     # per-particle associated-obs count
     )
 
     def obs_body(i, st):
-        (logw, mx, my, cxx, cxy, cyy, sigs, lv, lc, matched) = st
+        (logw, mx, my, cxx, cxy, cyy, sigs, lv, lc, matched, nmatch) = st
         zr = z_ref[i, 0]
         zphi = z_ref[i, 1]
         ovalid = vz_ref[i] > 0
@@ -120,16 +131,18 @@ def _kernel(
         qi12 = -q12 / det
         qi22 = q11 / det
         nu1 = zr - r
-        nu2 = _wrap(zphi - (jnp.arctan2(dy, dx) - pth))
+        nu2 = _wrap(zphi - (_atan2(dy, dx) - pth))
         maha = nu1 * nu1 * qi11 + 2.0 * nu1 * nu2 * qi12 + nu2 * nu2 * qi22
         ll = -0.5 * (maha + jnp.log(det) + 2.0 * _LOG_2PI)
         for c in range(sig_dim):
             ds = sigs[c] - sig_ref[i, c]
             ll = ll - 0.5 * ds * ds / sig_var
-        ll = jnp.where(lv > 0, ll, _NEG_INF)
+        ll = jnp.where((lv > 0) & real_lane, ll, _NEG_INF)
 
         best_ll = jnp.max(ll, axis=1, keepdims=True)          # [P, 1]
-        best_idx = jnp.argmax(ll, axis=1)[:, None]            # [P, 1]
+        best_idx = jnp.min(                                   # first-match
+            jnp.where(ll == best_ll, lane, BIG_LANE), axis=1, keepdims=True
+        )
         onehot = (lane == best_idx) & (lv > 0)
         any_valid = best_ll > _NEG_INF / 2
         is_new = (best_ll < log_p0) | ~any_valid              # [P, 1]
@@ -172,9 +185,10 @@ def _kernel(
         sigs = tuple(new_sigs)
 
         # --- new landmark allocation ----------------------------------
-        # first free slot: lane index of min(valid) == argmax of (1-valid)
-        free_idx = jnp.argmax(1.0 - lv, axis=1)[:, None]       # [P, 1]
-        has_free = jnp.min(lv, axis=1, keepdims=True) < 0.5
+        # first free REAL slot (explicit lane-min; padding excluded)
+        free_lanes = jnp.where((lv < 0.5) & real_lane, lane, BIG_LANE)
+        free_idx = jnp.min(free_lanes, axis=1, keepdims=True)  # [P, 1]
+        has_free = free_idx < BIG_LANE
         alloc = (lane == free_idx) & is_new & has_free & ovalid
         ang = pth + zphi
         ca, sa = jnp.cos(ang), jnp.sin(ang)
@@ -203,18 +217,22 @@ def _kernel(
         logw = logw + jnp.where(ovalid, dw, 0.0)
 
         matched = jnp.where(upd_mask | alloc, 1.0, matched)
-        return (logw, mx, my, cxx, cxy, cyy, sigs, lv, lc, matched)
+        handled = jnp.max(
+            jnp.where(upd_mask | alloc, 1.0, 0.0), axis=1, keepdims=True
+        )
+        nmatch = nmatch + handled
+        return (logw, mx, my, cxx, cxy, cyy, sigs, lv, lc, matched, nmatch)
 
     st = jax.lax.fori_loop(0, num_obs, obs_body, state0)
-    (logw, mx, my, cxx, cxy, cyy, sigs, lv, lc, matched) = st
+    (logw, mx, my, cxx, cxy, cyy, sigs, lv, lc, matched, nmatch) = st
 
     if cull:
         dx = mx - px
         dy = my - py
         r = jnp.sqrt(dx * dx + dy * dy + 1e-12)
-        phi = _wrap(jnp.arctan2(dy, dx) - pth)
+        phi = _wrap(_atan2(dy, dx) - pth)
         in_fov = (r < max_range) & (jnp.abs(phi) < fov_half)
-        dec = (lv > 0) & in_fov & (matched < 0.5)
+        dec = (lv > 0) & real_lane & in_fov & (matched < 0.5)
         lc = lc - dec.astype(jnp.float32)
         lv = jnp.where((lv > 0) & (lc >= 0.0), 1.0, 0.0)
 
@@ -228,6 +246,7 @@ def _kernel(
         sig_out[c][:, :] = sigs[c]
     lv_o[:, :] = lv
     lc_o[:, :] = lc
+    nmatch_o[:, :] = nmatch
 
 
 def _round_up(x, m):
@@ -285,24 +304,29 @@ def measurement_update_2d(
     logw2 = log_w[:, None]
     pose_in = pose.astype(jnp.float32)
     z_in = z.astype(jnp.float32)
-    sig_in = sig.astype(jnp.float32).reshape(Z, -1)[:, :max(sig_dim, 1)]
+    if sig_dim > 0:
+        sig_in = sig.astype(jnp.float32)[:, :sig_dim]
+    else:
+        sig_in = jnp.zeros((Z, 1), jnp.float32)  # placeholder; kernel ignores
     vz = valid.astype(jnp.int32)
 
-    n_planes_out = 6 + sig_dim + 2  # logw, 5 geom planes, sigs, valid, count
+    n_aliased = 6 + sig_dim + 2  # logw, 5 geom planes, sigs, valid, count
     out_shape = (
         [jax.ShapeDtypeStruct((P, 1), jnp.float32)]
         + [jax.ShapeDtypeStruct((P, Lp), jnp.float32)] * (5 + sig_dim + 2)
+        + [jax.ShapeDtypeStruct((P, 1), jnp.float32)]  # n_match (not aliased)
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [smem(), smem(), smem()] + [vmem()] * (2 + 5 + sig_dim + 2)
-    out_specs = tuple([vmem()] * n_planes_out)
+    out_specs = tuple([vmem()] * (n_aliased + 1))
 
     kernel = functools.partial(
         _kernel_entry,
         sig_dim=sig_dim,
         num_obs=Z,
+        num_landmarks=L,
         r_var=r_var,
         sig_var=sig_var,
         log_p0=log_p0,
@@ -313,7 +337,7 @@ def measurement_update_2d(
     )
 
     # Alias the big planes in-place: inputs [4=logw, 5..] -> outputs [0..].
-    aliases = {4 + i: i for i in range(n_planes_out)}
+    aliases = {4 + i: i for i in range(n_aliased)}
 
     results = pl.pallas_call(
         kernel,
@@ -328,6 +352,7 @@ def measurement_update_2d(
     mx, my, cxx, cxy, cyy = results[1:6]
     sig_res = results[6 : 6 + sig_dim]
     lv_n, lc_n = results[6 + sig_dim], results[7 + sig_dim]
+    n_match = results[8 + sig_dim][:, 0]
 
     unpad = lambda a: a[:, :L]
     lm_mean_n = jnp.stack([unpad(mx), unpad(my)], axis=-1)
@@ -349,6 +374,7 @@ def measurement_update_2d(
         lm_sig_n,
         unpad(lv_n) > 0.5,
         unpad(lc_n).astype(jnp.int32),
+        n_match,
     )
 
 
