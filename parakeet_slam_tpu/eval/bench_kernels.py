@@ -1,0 +1,170 @@
+"""Per-kernel speed-of-light benchmarks (BASELINE.json:5 "measure BA/
+matching kernel speed-of-light per chip").
+
+Every hot kernel here is memory-bandwidth- or VPU-bound, so the SOL
+reference is HBM bandwidth: achieved_bytes/s vs the chip's peak. Peak
+constants are per-generation lookup (v5e: 819 GB/s HBM, ~197 bf16
+TFLOP/s); the harness prints achieved GB/s, the % of SOL, and wall time
+per call. `python -m parakeet_slam_tpu.cli bench` is the front door.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Per-chip peaks (HBM GB/s, fp32 TFLOP/s) by platform version keyword.
+_PEAKS = {
+    "v5 lite": (819.0, 98.0),
+    "v5e": (819.0, 98.0),
+    "v4": (1228.0, 137.0),
+    "v6": (1640.0, 230.0),
+    "cpu": (50.0, 1.0),
+}
+
+
+def _peak_for_device():
+    d = jax.devices()[0]
+    name = getattr(d, "device_kind", "") or str(d)
+    for k, v in _PEAKS.items():
+        if k in name.lower():
+            return v
+    return _PEAKS["cpu"] if d.platform == "cpu" else (819.0, 98.0)
+
+
+def _time_call(fn, *args, reps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_ekf(P=2048, L=10240, Z=32):
+    """Fused measurement-update kernel at KITTI-config scale."""
+    from parakeet_slam_tpu.kernels import ekf_update
+
+    key = jax.random.PRNGKey(0)
+    pose = jax.random.normal(key, (P, 3))
+    log_w = jnp.zeros((P,))
+    lm_mean = jax.random.normal(jax.random.fold_in(key, 1), (P, L, 2)) * 5
+    eye = jnp.broadcast_to(0.1 * jnp.eye(2), (P, L, 2, 2))
+    lm_sig = jnp.zeros((P, L, 0))
+    lm_valid = jnp.ones((P, L), bool)
+    lm_count = jnp.ones((P, L), jnp.int32)
+    z = jax.random.uniform(key, (Z, 2), minval=1.0, maxval=5.0)
+    sig = jnp.zeros((Z, 0))
+    valid = jnp.ones((Z,), bool)
+    interpret = jax.devices()[0].platform != "tpu"
+
+    def call():
+        return ekf_update.measurement_update_2d(
+            pose, log_w, lm_mean, jnp.asarray(eye), lm_sig, lm_valid, lm_count,
+            z, sig, valid, sig_dim=0, r_var=(0.01, 0.001), sig_var=1.0,
+            log_p0=-8.0, init_infl=1.0, max_range=50.0, fov_half=3.2,
+            cull=True, interpret=interpret,
+        )
+
+    dt = _time_call(call, reps=5)
+    # planes r+w once per frame: 7 geom/count/valid planes in+out
+    plane_bytes = P * L * 4
+    bytes_moved = plane_bytes * 7 * 2
+    # dominant flops: Z obs x P x L x ~60 flops
+    flops = Z * P * L * 60
+    return dt, bytes_moved, flops
+
+
+def bench_resample(P=2048, L=10240):
+    from parakeet_slam_tpu.kernels import resample_pallas
+
+    key = jax.random.PRNGKey(0)
+    payload = jax.random.normal(key, (P, L * 7))  # full map footprint
+    idx = jax.random.randint(jax.random.fold_in(key, 1), (P,), 0, P)
+    interpret = jax.devices()[0].platform != "tpu"
+
+    def call():
+        return resample_pallas.gather_rows(payload, idx, interpret=interpret)
+
+    dt = _time_call(call, reps=5)
+    bytes_moved = payload.size * 4 * 2
+    return dt, bytes_moved, 0
+
+
+def bench_match(N=1024, M=131072, W=8):
+    from parakeet_slam_tpu.kernels import match
+
+    key = jax.random.PRNGKey(0)
+    qd = jax.random.randint(key, (N, W), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    db = jax.random.randint(
+        jax.random.fold_in(key, 1), (M, W), 0, 2**31 - 1, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    valid = jnp.ones((M,), bool)
+    interpret = jax.devices()[0].platform != "tpu"
+
+    def call():
+        return match.hamming_top2(qd, db, valid, interpret=interpret)
+
+    dt = _time_call(call, reps=5)
+    # db streamed once per 128-query tile
+    bytes_moved = (N // 128) * M * W * 4 + N * W * 4
+    flops = N * M * W * 3  # xor + popcount + add
+    return dt, bytes_moved, flops
+
+
+def bench_schur(N=262144):
+    from parakeet_slam_tpu.kernels import schur
+
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (N, 3, 3))
+    C = a @ jnp.swapaxes(a, -1, -2) + 0.5 * jnp.eye(3)
+    u = jax.random.normal(jax.random.fold_in(key, 1), (N, 3))
+    interpret = jax.devices()[0].platform != "tpu"
+
+    def call():
+        return schur.apply_cinv(C, u, interpret=interpret)
+
+    dt = _time_call(call, reps=10)
+    bytes_moved = N * (6 + 3 + 3) * 4
+    flops = N * 60
+    return dt, bytes_moved, flops
+
+
+BENCHES = {
+    "ekf_update": bench_ekf,
+    "resample": bench_resample,
+    "match": bench_match,
+    "schur": bench_schur,
+}
+
+
+def main(args=None):
+    which = getattr(args, "kernel", "all") if args else "all"
+    peak_bw, peak_tf = _peak_for_device()
+    rows = []
+    for name, fn in BENCHES.items():
+        if which != "all" and which != name:
+            continue
+        dt, bytes_moved, flops = fn()
+        gbs = bytes_moved / dt / 1e9
+        tf = flops / dt / 1e12
+        rows.append(
+            {
+                "kernel": name,
+                "ms": round(dt * 1e3, 3),
+                "GB/s": round(gbs, 1),
+                "sol_bw_frac": round(gbs / peak_bw, 3),
+                "TFLOP/s": round(tf, 2),
+            }
+        )
+        print(json.dumps(rows[-1]))
+    return rows
+
+
+if __name__ == "__main__":
+    main()
