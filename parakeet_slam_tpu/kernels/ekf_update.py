@@ -7,12 +7,19 @@ TPU-first layout: the per-particle landmark maps are viewed as
 structure-of-arrays planes of shape [P, L] (mean-x, mean-y, cov-xx, cov-xy,
 cov-yy, signature channels, valid, count). One kernel invocation processes
 ALL Z observations of a frame sequentially (the textbook FastSLAM ordering
-— association of obs i sees obs i-1's map), with every plane resident in
-VMEM for the whole frame: zero HBM round-trips between observations,
-everything elementwise on the VPU with lane-axis reductions for the
-per-particle argmax association. The equivalent XLA path
-(`filter/fastslam.py::_process_observation`) materializes [P, L, 2, 2]
-intermediates in HBM per observation.
+— association of obs i sees obs i-1's map) with the state planes resident
+in VMEM for the whole frame: zero HBM round-trips between observations.
+The equivalent XLA path (`filter/fastslam.py::_process_observation`)
+materializes [P, L, 2, 2] intermediates in HBM per observation.
+
+VMEM discipline (what makes this scale to L = 10k+ under the ~16 MB scoped
+limit): the grid tiles the particle axis; within a tile all mutation is
+IN-PLACE on the output refs (no whole-plane loop carries), per-(particle,
+landmark) likelihoods are computed chunk-by-chunk over the landmark axis
+into one [Pt, L] scratch plane (so only O(chunk) temporaries are ever
+live), and the EKF update itself is computed in per-particle VECTOR space
+([Pt, 1] gathers of the associated landmark via one-hot reductions) before
+being scattered back with masked writes.
 
 Math per (particle p, landmark l, observation z) — SURVEY.md §3:
   dx, dy   = mean - pose.xy;  q = dx²+dy²;  r = √q
@@ -24,7 +31,9 @@ Math per (particle p, landmark l, observation z) — SURVEY.md §3:
   update   : K = ΣHᵀQ⁻¹;  μ += Kν;  Σ ← (I-KH)Σ;  w += ℓ
   new      : μ = h⁻¹(pose, z);  Σ = H⁻¹R H⁻ᵀ;  w += log p₀
 All 2×2 inverses are closed-form cofactors (`core/linalg.py` is the XLA
-twin) — no linalg.solve in-kernel.
+twin) — no linalg.solve in-kernel. Index selection is explicit first-match
+lane-min (Mosaic argmax tie-breaking differs from interpret mode), and
+padding lanes beyond the real capacity are never associated or allocated.
 """
 
 from __future__ import annotations
@@ -53,11 +62,12 @@ def _kernel(
     # VMEM per-particle inputs
     pose_ref, logw_ref,
     mx_ref, my_ref, cxx_ref, cxy_ref, cyy_ref,
-    sig_in_refs_and_rest,
+    refs,
     *,
     num_obs: int,
     num_landmarks: int,
     sig_dim: int,
+    chunk: int,
     r_var: tuple[float, float],
     sig_var: float,
     log_p0: float,
@@ -66,187 +76,224 @@ def _kernel(
     fov_half: float,
     cull: bool,
 ):
-    # Unpack variadic refs: sig planes (in), valid, count, then outputs.
-    refs = sig_in_refs_and_rest
+    # Unpack variadic refs: sig planes (in), valid, count, outputs, scratch.
     sig_in = refs[:sig_dim]
     lv_ref, lc_ref = refs[sig_dim], refs[sig_dim + 1]
-    out = refs[sig_dim + 2:]
+    out = refs[sig_dim + 2 : sig_dim + 2 + 9 + sig_dim]
     (logw_o, mx_o, my_o, cxx_o, cxy_o, cyy_o) = out[:6]
     sig_out = out[6 : 6 + sig_dim]
     lv_o, lc_o = out[6 + sig_dim], out[7 + sig_dim]
     nmatch_o = out[8 + sig_dim]
+    ll_s, matched_s = refs[sig_dim + 2 + 9 + sig_dim :]
 
-    P, L = mx_ref.shape
-    px = pose_ref[:, 0:1]   # [P, 1]
+    P, L = mx_o.shape
+    NC = L // chunk
+    r11, r22 = r_var
+
+    # ---- initialize: copy state into the (aliased) output blocks --------
+    logw_o[:, :] = logw_ref[:, :]
+    mx_o[:, :] = mx_ref[:, :]
+    my_o[:, :] = my_ref[:, :]
+    cxx_o[:, :] = cxx_ref[:, :]
+    cxy_o[:, :] = cxy_ref[:, :]
+    cyy_o[:, :] = cyy_ref[:, :]
+    for c in range(sig_dim):
+        sig_out[c][:, :] = sig_in[c][:, :]
+    lv_o[:, :] = lv_ref[:, :]
+    lc_o[:, :] = lc_ref[:, :]
+    nmatch_o[:, :] = jnp.zeros((P, 1), jnp.float32)
+    matched_s[:, :] = jnp.zeros((P, L), jnp.float32)
+
+    px = pose_ref[:, 0:1]
     py = pose_ref[:, 1:2]
     pth = pose_ref[:, 2:3]
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
-    # Lanes beyond the real landmark capacity are padding: never associate
-    # into them, never allocate them. (Mosaic argmax tie-breaking also
-    # differs from interpret mode, so all index selection below is explicit
-    # first-match lane-min — deterministic on every backend.)
-    real_lane = lane < num_landmarks
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    real_f = lane_f < num_landmarks
     BIG_LANE = jnp.int32(2**30)
 
-    r11, r22 = r_var
-    state0 = (
-        logw_ref[:, 0:1],
-        mx_ref[:, :], my_ref[:, :],
-        cxx_ref[:, :], cxy_ref[:, :], cyy_ref[:, :],
-        tuple(s[:, :] for s in sig_in),
-        lv_ref[:, :],                       # float32 0/1
-        lc_ref[:, :],                       # float32 counts
-        jnp.zeros((P, L), jnp.float32),     # matched mask
-        jnp.zeros((P, 1), jnp.float32),     # per-particle associated-obs count
-    )
-
-    def obs_body(i, st):
-        (logw, mx, my, cxx, cxy, cyy, sigs, lv, lc, matched, nmatch) = st
+    def obs_body(i, _):
         zr = z_ref[i, 0]
         zphi = z_ref[i, 1]
         ovalid = vz_ref[i] > 0
 
-        dx = mx - px
-        dy = my - py
+        # ---- pass A: likelihoods, chunked over the landmark axis -------
+        def ll_chunk(c, _):
+            sl = pl.ds(c * chunk, chunk)
+            mx = mx_o[:, sl]
+            my = my_o[:, sl]
+            dx = mx - px
+            dy = my - py
+            q = dx * dx + dy * dy + 1e-12
+            r = jnp.sqrt(q)
+            h11 = dx / r
+            h12 = dy / r
+            h21 = -dy / q
+            h22 = dx / q
+            cxx = cxx_o[:, sl]
+            cxy = cxy_o[:, sl]
+            cyy = cyy_o[:, sl]
+            a11 = h11 * cxx + h12 * cxy
+            a12 = h11 * cxy + h12 * cyy
+            q11 = a11 * h11 + a12 * h12 + r11
+            q12 = a11 * h21 + a12 * h22
+            q22 = (h21 * cxx + h22 * cxy) * h21 + (h21 * cxy + h22 * cyy) * h22 + r22
+            det = jnp.maximum(q11 * q22 - q12 * q12, 1e-12)
+            nu1 = zr - r
+            nu2 = _wrap(zphi - (_atan2(dy, dx) - pth))
+            maha = (
+                nu1 * nu1 * q22 - 2.0 * nu1 * nu2 * q12 + nu2 * nu2 * q11
+            ) / det
+            ll = -0.5 * (maha + jnp.log(det) + 2.0 * _LOG_2PI)
+            for s in range(sig_dim):
+                ds_ = sig_out[s][:, sl] - sig_ref[i, s]
+                ll = ll - 0.5 * ds_ * ds_ / sig_var
+            valid_here = (lv_o[:, sl] > 0) & ((lane_c + c * chunk) < num_landmarks)
+            ll_s[:, sl] = jnp.where(valid_here, ll, _NEG_INF)
+            return 0
+
+        jax.lax.fori_loop(0, NC, ll_chunk, 0)
+
+        # ---- association ------------------------------------------------
+        best_ll = jnp.max(ll_s[:, :], axis=1, keepdims=True)       # [P, 1]
+        best_idx = jnp.min(
+            jnp.where(ll_s[:, :] == best_ll, lane_f, BIG_LANE),
+            axis=1, keepdims=True,
+        )
+        onehot = (lane_f == best_idx).astype(jnp.float32)          # [P, L]
+        any_valid = best_ll > _NEG_INF / 2
+        is_new = (best_ll < log_p0) | ~any_valid                   # [P, 1]
+        do_upd = ~is_new & ovalid                                  # [P, 1]
+
+        # ---- gather the associated landmark into vector space ----------
+        def pick(plane_ref):
+            return jnp.sum(plane_ref[:, :] * onehot, axis=1, keepdims=True)
+
+        mx_b = pick(mx_o)
+        my_b = pick(my_o)
+        cxx_b = pick(cxx_o)
+        cxy_b = pick(cxy_o)
+        cyy_b = pick(cyy_o)
+
+        # ---- EKF update in [P, 1] space ---------------------------------
+        dx = mx_b - px
+        dy = my_b - py
         q = dx * dx + dy * dy + 1e-12
         r = jnp.sqrt(q)
-        # H rows
         h11 = dx / r
         h12 = dy / r
         h21 = -dy / q
         h22 = dx / q
-        # A = H Σ (Σ = [[cxx,cxy],[cxy,cyy]])
-        a11 = h11 * cxx + h12 * cxy
-        a12 = h11 * cxy + h12 * cyy
-        a21 = h21 * cxx + h22 * cxy
-        a22 = h21 * cxy + h22 * cyy
-        # Q = A Hᵀ + R
+        a11 = h11 * cxx_b + h12 * cxy_b
+        a12 = h11 * cxy_b + h12 * cyy_b
+        a21 = h21 * cxx_b + h22 * cxy_b
+        a22 = h21 * cxy_b + h22 * cyy_b
         q11 = a11 * h11 + a12 * h12 + r11
         q12 = a11 * h21 + a12 * h22
         q22 = a21 * h21 + a22 * h22 + r22
-        det = q11 * q22 - q12 * q12
-        det = jnp.maximum(det, 1e-12)
+        det = jnp.maximum(q11 * q22 - q12 * q12, 1e-12)
         qi11 = q22 / det
         qi12 = -q12 / det
         qi22 = q11 / det
         nu1 = zr - r
         nu2 = _wrap(zphi - (_atan2(dy, dx) - pth))
-        maha = nu1 * nu1 * qi11 + 2.0 * nu1 * nu2 * qi12 + nu2 * nu2 * qi22
-        ll = -0.5 * (maha + jnp.log(det) + 2.0 * _LOG_2PI)
-        for c in range(sig_dim):
-            ds = sigs[c] - sig_ref[i, c]
-            ll = ll - 0.5 * ds * ds / sig_var
-        ll = jnp.where((lv > 0) & real_lane, ll, _NEG_INF)
-
-        best_ll = jnp.max(ll, axis=1, keepdims=True)          # [P, 1]
-        best_idx = jnp.min(                                   # first-match
-            jnp.where(ll == best_ll, lane, BIG_LANE), axis=1, keepdims=True
-        )
-        onehot = (lane == best_idx) & (lv > 0)
-        any_valid = best_ll > _NEG_INF / 2
-        is_new = (best_ll < log_p0) | ~any_valid              # [P, 1]
-        upd_mask = onehot & ~is_new & ovalid                  # [P, L]
-
-        # --- EKF update (masked over the associated lane) -------------
-        # K = Σ Hᵀ Q⁻¹ : b = Σ Hᵀ  (b columns), K = b @ Qinv
-        b11 = cxx * h11 + cxy * h12
-        b12 = cxx * h21 + cxy * h22
-        b21 = cxy * h11 + cyy * h12
-        b22 = cxy * h21 + cyy * h22
+        b11 = cxx_b * h11 + cxy_b * h12
+        b12 = cxx_b * h21 + cxy_b * h22
+        b21 = cxy_b * h11 + cyy_b * h12
+        b22 = cxy_b * h21 + cyy_b * h22
         k11 = b11 * qi11 + b12 * qi12
         k12 = b11 * qi12 + b12 * qi22
         k21 = b21 * qi11 + b22 * qi12
         k22 = b21 * qi12 + b22 * qi22
-        mx_u = mx + k11 * nu1 + k12 * nu2
-        my_u = my + k21 * nu1 + k22 * nu2
-        # (I - K H) Σ
+        mx_u = mx_b + k11 * nu1 + k12 * nu2
+        my_u = my_b + k21 * nu1 + k22 * nu2
         i11 = 1.0 - (k11 * h11 + k12 * h21)
         i12 = -(k11 * h12 + k12 * h22)
         i21 = -(k21 * h11 + k22 * h21)
         i22 = 1.0 - (k21 * h12 + k22 * h22)
-        cxx_u = i11 * cxx + i12 * cxy
-        cxy_u = i11 * cxy + i12 * cyy
-        cyx_u = i21 * cxx + i22 * cxy
-        cyy_u = i21 * cxy + i22 * cyy
-        cxy_s = 0.5 * (cxy_u + cyx_u)
+        cxx_u = i11 * cxx_b + i12 * cxy_b
+        cxy_u = 0.5 * ((i11 * cxy_b + i12 * cyy_b) + (i21 * cxx_b + i22 * cxy_b))
+        cyy_u = i21 * cxy_b + i22 * cyy_b
 
-        mx = jnp.where(upd_mask, mx_u, mx)
-        my = jnp.where(upd_mask, my_u, my)
-        cxx = jnp.where(upd_mask, cxx_u, cxx)
-        cxy = jnp.where(upd_mask, cxy_s, cxy)
-        cyy = jnp.where(upd_mask, cyy_u, cyy)
-        lc = jnp.where(upd_mask, lc + 2.0, lc)
-        new_sigs = []
-        for c in range(sig_dim):
-            cnt = jnp.maximum(lc, 1.0)
-            s_u = sigs[c] + (sig_ref[i, c] - sigs[c]) / cnt
-            new_sigs.append(jnp.where(upd_mask, s_u, sigs[c]))
-        sigs = tuple(new_sigs)
-
-        # --- new landmark allocation ----------------------------------
-        # first free REAL slot (explicit lane-min; padding excluded)
-        free_lanes = jnp.where((lv < 0.5) & real_lane, lane, BIG_LANE)
-        free_idx = jnp.min(free_lanes, axis=1, keepdims=True)  # [P, 1]
+        # ---- allocation target (first free real slot) -------------------
+        free_idx = jnp.min(
+            jnp.where((lv_o[:, :] < 0.5) & real_f, lane_f, BIG_LANE),
+            axis=1, keepdims=True,
+        )
         has_free = free_idx < BIG_LANE
-        alloc = (lane == free_idx) & is_new & has_free & ovalid
+        do_alloc = is_new & has_free & ovalid                      # [P, 1]
         ang = pth + zphi
-        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        ca = jnp.cos(ang)
+        sa = jnp.sin(ang)
         nx = px + zr * ca
         ny = py + zr * sa
-        # Σ₀ = H⁻¹ R H⁻ᵀ at the init point, closed form:
-        # H at (dx,dy) = zr*(ca,sa): H = [[ca, sa], [-sa/zr, ca/zr]],
-        # H⁻¹ = [[ca, -zr*sa], [sa, zr*ca]]
         zr2 = zr * zr
         n_cxx = init_infl * (r11 * ca * ca + r22 * zr2 * sa * sa)
         n_cxy = init_infl * ((r11 - r22 * zr2) * ca * sa)
         n_cyy = init_infl * (r11 * sa * sa + r22 * zr2 * ca * ca)
-        mx = jnp.where(alloc, nx, mx)
-        my = jnp.where(alloc, ny, my)
-        cxx = jnp.where(alloc, n_cxx, cxx)
-        cxy = jnp.where(alloc, n_cxy, cxy)
-        cyy = jnp.where(alloc, n_cyy, cyy)
-        lv = jnp.where(alloc, 1.0, lv)
-        lc = jnp.where(alloc, 1.0, lc)
-        sigs = tuple(
-            jnp.where(alloc, sig_ref[i, c], sigs[c]) for c in range(sig_dim)
-        )
 
-        # --- importance weight ----------------------------------------
+        # ---- scatter back (masked writes; one [P, L] temp at a time) ----
+        upd_m = (lane_f == best_idx) & do_upd
+        alloc_m = (lane_f == free_idx) & do_alloc
+        mx_o[:, :] = jnp.where(upd_m, mx_u, jnp.where(alloc_m, nx, mx_o[:, :]))
+        my_o[:, :] = jnp.where(upd_m, my_u, jnp.where(alloc_m, ny, my_o[:, :]))
+        cxx_o[:, :] = jnp.where(
+            upd_m, cxx_u, jnp.where(alloc_m, n_cxx, cxx_o[:, :])
+        )
+        cxy_o[:, :] = jnp.where(
+            upd_m, cxy_u, jnp.where(alloc_m, n_cxy, cxy_o[:, :])
+        )
+        cyy_o[:, :] = jnp.where(
+            upd_m, cyy_u, jnp.where(alloc_m, n_cyy, cyy_o[:, :])
+        )
+        lc_new = jnp.where(
+            upd_m, lc_o[:, :] + 2.0, jnp.where(alloc_m, 1.0, lc_o[:, :])
+        )
+        lc_o[:, :] = lc_new
+        if sig_dim:
+            cnt_b = jnp.maximum(jnp.sum(lc_new * onehot, axis=1, keepdims=True), 1.0)
+            for s in range(sig_dim):
+                sig_b = jnp.sum(sig_out[s][:, :] * onehot, axis=1, keepdims=True)
+                sig_u = sig_b + (sig_ref[i, s] - sig_b) / cnt_b
+                sig_out[s][:, :] = jnp.where(
+                    upd_m, sig_u, jnp.where(alloc_m, sig_ref[i, s], sig_out[s][:, :])
+                )
+        lv_o[:, :] = jnp.where(alloc_m, 1.0, lv_o[:, :])
+
+        # ---- weights / bookkeeping -------------------------------------
         dw = jnp.where(is_new, log_p0, best_ll)
-        logw = logw + jnp.where(ovalid, dw, 0.0)
-
-        matched = jnp.where(upd_mask | alloc, 1.0, matched)
-        handled = jnp.max(
-            jnp.where(upd_mask | alloc, 1.0, 0.0), axis=1, keepdims=True
+        logw_o[:, :] = logw_o[:, :] + jnp.where(ovalid, dw, 0.0)
+        touched = upd_m | alloc_m
+        matched_s[:, :] = jnp.where(touched, 1.0, matched_s[:, :])
+        nmatch_o[:, :] = nmatch_o[:, :] + jnp.max(
+            jnp.where(touched, 1.0, 0.0), axis=1, keepdims=True
         )
-        nmatch = nmatch + handled
-        return (logw, mx, my, cxx, cxy, cyy, sigs, lv, lc, matched, nmatch)
+        return 0
 
-    st = jax.lax.fori_loop(0, num_obs, obs_body, state0)
-    (logw, mx, my, cxx, cxy, cyy, sigs, lv, lc, matched, nmatch) = st
+    jax.lax.fori_loop(0, num_obs, obs_body, 0)
 
+    # ---- culling (chunked) ---------------------------------------------
     if cull:
-        dx = mx - px
-        dy = my - py
-        r = jnp.sqrt(dx * dx + dy * dy + 1e-12)
-        phi = _wrap(_atan2(dy, dx) - pth)
-        in_fov = (r < max_range) & (jnp.abs(phi) < fov_half)
-        dec = (lv > 0) & real_lane & in_fov & (matched < 0.5)
-        lc = lc - dec.astype(jnp.float32)
-        lv = jnp.where((lv > 0) & (lc >= 0.0), 1.0, 0.0)
+        def cull_chunk(c, _):
+            sl = pl.ds(c * chunk, chunk)
+            dx = mx_o[:, sl] - px
+            dy = my_o[:, sl] - py
+            r = jnp.sqrt(dx * dx + dy * dy + 1e-12)
+            phi = _wrap(_atan2(dy, dx) - pth)
+            in_fov = (r < max_range) & (jnp.abs(phi) < fov_half)
+            lv = lv_o[:, sl]
+            dec = (
+                (lv > 0)
+                & ((lane_c + c * chunk) < num_landmarks)
+                & in_fov
+                & (matched_s[:, sl] < 0.5)
+            )
+            lc = lc_o[:, sl] - dec.astype(jnp.float32)
+            lc_o[:, sl] = lc
+            lv_o[:, sl] = jnp.where((lv > 0) & (lc >= 0.0), 1.0, 0.0)
+            return 0
 
-    logw_o[:, :] = logw
-    mx_o[:, :] = mx
-    my_o[:, :] = my
-    cxx_o[:, :] = cxx
-    cxy_o[:, :] = cxy
-    cyy_o[:, :] = cyy
-    for c in range(sig_dim):
-        sig_out[c][:, :] = sigs[c]
-    lv_o[:, :] = lv
-    lc_o[:, :] = lc
-    nmatch_o[:, :] = nmatch
+        jax.lax.fori_loop(0, NC, cull_chunk, 0)
 
 
 def _round_up(x, m):
@@ -279,8 +326,7 @@ def measurement_update_2d(
     Array-layout adapter around `_kernel`: splits [P, L, ...] state into
     [P, L] planes (padded to lane width 128), invokes one fused kernel for
     the whole frame, and reassembles the ParticleState fields. Returns
-    (pose-unchanged) updated (log_w, lm_mean, lm_cov, lm_sig, lm_valid,
-    lm_count).
+    updated (log_w, lm_mean, lm_cov, lm_sig, lm_valid, lm_count, n_match).
     """
     P, L = lm_valid.shape
     Z = z.shape[0]
@@ -317,16 +363,41 @@ def measurement_update_2d(
         + [jax.ShapeDtypeStruct((P, 1), jnp.float32)]  # n_match (not aliased)
     )
 
+    # Particle-axis tiling: in+out plane blocks are double-buffered by the
+    # pipeline, plus the ll/matched scratch planes — keep it under ~12 MB.
+    n_planes = 7 + sig_dim
+    chunk = min(Lp, 2048)
+    budget = 12 * 1024 * 1024
+    per_particle = (2 * 2 * n_planes * Lp + 2 * Lp) * 4  # in+out x2buf + scratch
+    Pt = max(8, budget // per_particle)
+    Pt = min(P, (Pt // 8) * 8)
+    Pt = max(Pt, 8)
+    while P % Pt:
+        Pt -= 8
+    if Pt <= 0 or P % max(Pt, 1):
+        Pt = P
+    grid = (P // Pt,)
+
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs = [smem(), smem(), smem()] + [vmem()] * (2 + 5 + sig_dim + 2)
-    out_specs = tuple([vmem()] * (n_aliased + 1))
+    row = lambda w: pl.BlockSpec((Pt, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    plane = lambda: row(Lp)
+    in_specs = (
+        [smem(), smem(), smem()]
+        + [row(pose_in.shape[1]), row(1)]
+        + [plane()] * (5 + sig_dim + 2)
+    )
+    out_specs = tuple([row(1)] + [plane()] * (5 + sig_dim + 2) + [row(1)])
+    scratch = [
+        pltpu.VMEM((Pt, Lp), jnp.float32),  # ll
+        pltpu.VMEM((Pt, Lp), jnp.float32),  # matched
+    ]
 
     kernel = functools.partial(
         _kernel_entry,
         sig_dim=sig_dim,
         num_obs=Z,
         num_landmarks=L,
+        chunk=chunk,
         r_var=r_var,
         sig_var=sig_var,
         log_p0=log_p0,
@@ -341,10 +412,12 @@ def measurement_update_2d(
 
     results = pl.pallas_call(
         kernel,
+        grid=grid,
         out_shape=tuple(out_shape),
         in_specs=in_specs,
         out_specs=out_specs,
         input_output_aliases=aliases,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(z_in, sig_in, vz, pose_in, logw2, *planes, *sig_planes, lv, lc)
 
