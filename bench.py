@@ -81,18 +81,17 @@ def measure_tpu(num_steps: int = 500, use_pallas: bool = True) -> dict:
     )
     state0 = slam.init_state(init_pose=jnp.asarray(sim.gt_pose[0]))
 
-    # compile + correctness pass
+    from parakeet_slam_tpu.eval.profiling import device_sync, timed
+
+    # compile + correctness pass (device_sync: block_until_ready does not
+    # actually block on the tunneled TPU backend here)
     _, est, _ = run_sequence(slam, state0, *args)
-    est = jax.block_until_ready(est)
+    device_sync(est)
     ate = float(ate_rmse(est[:, :2], sim.gt_pose[:, :2]))
 
-    # timed passes
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        _, est, _ = run_sequence(slam, state0, *args)
-        jax.block_until_ready(est)
-    dt = (time.time() - t0) / reps
+    dt, _ = timed(
+        lambda: run_sequence(slam, state0, *args)[1], reps=3, warmup=1
+    )
     return {"fps": num_steps / dt, "ate": ate, "device": str(jax.devices()[0])}
 
 

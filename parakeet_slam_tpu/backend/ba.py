@@ -228,11 +228,28 @@ def optimize_ba(
         lam_next = jnp.where(accept, lam_t * 0.5, lam_t * 4.0)
         return (cam_out, pts_out, lam_next), (new_cost, pcg_res)
 
-    (cam_f, pts_f, _), (costs, pcg_res) = jax.lax.scan(
-        step, (prob.cam_pose, prob.points, jnp.float32(lam)), None, length=iters
-    )
+    # fp32 accumulation discipline (SURVEY.md §8): TPU's default bf16 matmul
+    # precision corrupts the normal equations enough to stall/diverge LM —
+    # observed on-device with the pose graph; same physics applies here.
+    with jax.default_matmul_precision("highest"):
+        (cam_f, pts_f, _), (costs, pcg_res) = jax.lax.scan(
+            step, (prob.cam_pose, prob.points, jnp.float32(lam)), None,
+            length=iters,
+        )
     return BAResult(
         problem=prob.replace(cam_pose=cam_f, points=pts_f),
         costs=costs,
         pcg_residuals=pcg_res,
     )
+
+
+def window_problem(prob: BAProblem, window: int) -> BAProblem:
+    """Sliding-window (local) BA: keep only the newest `window` cameras
+    free; older cameras are frozen (cam_fixed) but their observations still
+    constrain the shared points — the keyframe-window blocking analog of
+    long-context processing (SURVEY.md §6). Shapes are unchanged, so the
+    same jitted optimizer serves full and windowed BA."""
+    C = prob.num_cams
+    last_valid = jnp.where(prob.cam_valid, jnp.arange(C), -1).max()
+    frozen = jnp.arange(C) <= (last_valid - window)
+    return prob.replace(cam_fixed=prob.cam_fixed | frozen)

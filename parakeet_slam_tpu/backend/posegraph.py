@@ -50,13 +50,25 @@ def graph_cost(g: PoseGraph) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("iters",))
 def optimize_pose_graph(
-    g: PoseGraph, iters: int = 10, damping: float = 1e-6
+    g: PoseGraph, iters: int = 10, damping: float = 1e-4
 ) -> tuple[PoseGraph, jax.Array]:
-    """Run damped GN; returns (graph with optimized poses, per-iter costs)."""
+    """Levenberg-Marquardt with adaptive damping and step acceptance;
+    returns (graph with optimized poses, per-iter costs).
+
+    Plain GN (constant tiny damping, always-accept) diverges on loop-closure
+    graphs whose Horn-estimated edges are mutually inconsistent — observed
+    on-device: costs 8e3 -> 8e4 -> ... -> inf -> nan, after which the NaN
+    correction poisons every particle pose. LM rejects cost-increasing
+    steps and raises lambda instead. All linear algebra is pinned to
+    float32 matmuls: TPU default (bf16 inputs) corrupts H enough that the
+    same graph converging on CPU diverges on TPU (SURVEY.md §8 fp32
+    accumulation discipline).
+    """
     K = g.max_nodes
     # Gauge: fix the first valid node.
     first = jnp.argmax(g.node_valid)
     free = g.node_valid & (jnp.arange(K) != first)
+    w = g.edge_valid[:, None] * g.edge_info  # [E, 6]
 
     def linearize(poses):
         pi = poses[g.edge_ij[:, 0]]
@@ -70,18 +82,25 @@ def optimize_pose_graph(
         )(pi, pj, g.edge_rel)  # [E, 6, 12]
         return r, J[..., :6], J[..., 6:]
 
-    def step(poses, _):
+    def cost_at(poses):
+        pi = poses[g.edge_ij[:, 0]]
+        pj = poses[g.edge_ij[:, 1]]
+        r = jax.vmap(edge_residual)(pi, pj, g.edge_rel)
+        return 0.5 * jnp.sum(w * r * r)
+
+    def step(carry, _):
+        poses, lam, cost = carry
         r, Ji, Jj = linearize(poses)
-        w = (g.edge_valid[:, None] * g.edge_info)  # [E, 6]
         wr = w * r
         # Assemble H [K, 6, K, 6] and b [K, 6] with scatter-adds.
         JiW = Ji * w[:, :, None]  # information-weighted
         JjW = Jj * w[:, :, None]
-        Hii = jnp.einsum("eki,ekj->eij", Ji, JiW)
-        Hjj = jnp.einsum("eki,ekj->eij", Jj, JjW)
-        Hij = jnp.einsum("eki,ekj->eij", Ji, JjW)
-        bi = jnp.einsum("eki,ek->ei", Ji, wr)
-        bj = jnp.einsum("eki,ek->ei", Jj, wr)
+        hp = jax.lax.Precision.HIGHEST
+        Hii = jnp.einsum("eki,ekj->eij", Ji, JiW, precision=hp)
+        Hjj = jnp.einsum("eki,ekj->eij", Jj, JjW, precision=hp)
+        Hij = jnp.einsum("eki,ekj->eij", Ji, JjW, precision=hp)
+        bi = jnp.einsum("eki,ek->ei", Ji, wr, precision=hp)
+        bj = jnp.einsum("eki,ek->ei", Jj, wr, precision=hp)
         ii = g.edge_ij[:, 0]
         jj = g.edge_ij[:, 1]
         H = jnp.zeros((K, 6, K, 6))
@@ -96,16 +115,25 @@ def optimize_pose_graph(
         Hm = H * mask[:, None, None, None] * mask[None, None, :, None]
         Hm = Hm.reshape(K * 6, K * 6)
         bm = (b * mask[:, None]).reshape(K * 6)
-        # Unit diagonal on fixed DOFs keeps the system nonsingular.
-        diag_fix = (1.0 - jnp.repeat(mask, 6)) + damping
+        # LM damping proportional to the diagonal; unit diagonal on fixed
+        # DOFs keeps the system nonsingular.
+        diag = jnp.diagonal(Hm)
+        diag_fix = (1.0 - jnp.repeat(mask, 6)) + lam * jnp.maximum(diag, 1e-8)
         Hm = Hm + jnp.diag(diag_fix)
-        delta = -jnp.linalg.solve(Hm, bm).reshape(K, 6)
+        with jax.default_matmul_precision("highest"):
+            delta = -jnp.linalg.solve(Hm, bm).reshape(K, 6)
         delta = delta * mask[:, None]
-        new_poses = jax.vmap(
+        cand = jax.vmap(
             lambda p, d: geometry.se3_compose(p, geometry.se3_exp(d))
         )(poses, delta)
-        cost = 0.5 * jnp.sum(w * r * r)
-        return new_poses, cost
+        new_cost = cost_at(cand)
+        accept = jnp.isfinite(new_cost) & (new_cost < cost)
+        poses = jnp.where(accept, cand, poses)
+        lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 8.0), 1e-7, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return (poses, lam, cost), cost
 
-    poses, costs = jax.lax.scan(step, g.poses, None, length=iters)
+    init = (g.poses, jnp.asarray(damping), cost_at(g.poses))
+    with jax.default_matmul_precision("highest"):
+        (poses, _, _), costs = jax.lax.scan(step, init, None, length=iters)
     return g.replace(poses=poses), costs

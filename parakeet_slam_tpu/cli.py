@@ -79,7 +79,16 @@ def cmd_run(args):
         for t in range(len(world)):
             est.append(sys_.process_frame(world.render(t), world.odom[t]))
         est = np.stack(est)
-        drift = float(np.linalg.norm(est[-1, :3] - world.gt_pose[-1, :3]))
+        # Filter gauge starts at identity; compose with gt[0] for world-frame
+        # drift.
+        from parakeet_slam_tpu.core import geometry
+
+        est_world = np.asarray(
+            geometry.se3_compose(
+                jnp.asarray(world.gt_pose[0]), jnp.asarray(est[-1])
+            )
+        )
+        drift = float(np.linalg.norm(est_world[:3] - world.gt_pose[-1, :3]))
         print(f"frames={len(est)} keyframes={len(sys_.keyframes)} "
               f"loop_closures={len(sys_.loop_closures)} end_drift={drift:.3f} m")
         if args.out:
@@ -142,11 +151,21 @@ def cmd_bench(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="parakeet_slam_tpu")
+    ap.add_argument(
+        "--platform", default="",
+        help="force a JAX platform (e.g. cpu); wins over JAX_PLATFORMS, "
+        "which this container pins",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p_run = sub.add_parser("run", help="run SLAM on a dataset config")
     p_run.add_argument("--config", required=True)
-    p_run.add_argument("--set", nargs="*", help="dotted overrides k=v")
+    # extend: repeated `--set k=v` flags accumulate instead of the last
+    # silently replacing all earlier ones (nargs="*" alone does the latter).
+    p_run.add_argument(
+        "--set", nargs="+", action="extend", default=[],
+        help="dotted overrides k=v (repeatable)",
+    )
     p_run.add_argument("--out", default="", help="trajectory output (TUM fmt)")
     p_run.add_argument("--frames", type=int, default=0)
     p_run.set_defaults(fn=cmd_run)
@@ -161,6 +180,10 @@ def main(argv=None):
     p_bench.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 

@@ -97,6 +97,7 @@ class BackendConfig:
     pcg_tol: float = 1e-6
     huber_delta: float = 2.0         # robust loss on reprojection residuals
     solver: str = "cholesky"         # cholesky | pcg for the reduced system
+    loop_inlier_radius: float = 0.7  # Horn-fit consensus gate (meters)
 
 
 @dataclass(frozen=True)

@@ -38,6 +38,20 @@ class SyntheticWorld:
             self.seed,
         )
 
+    def render_stereo(self, i: int, baseline: float = 0.3):
+        """(left, right) pair: right camera displaced by `baseline` along
+        the camera x-axis (pinhole worlds only)."""
+        assert self.camera == "pinhole"
+        left = self.render(i)
+        pose = jnp.asarray(self.gt_pose[i])
+        offset = geometry.se3_apply(pose, jnp.array([baseline, 0.0, 0.0]))
+        right_pose = np.asarray(pose).copy()
+        right_pose[:3] = np.asarray(offset)
+        right = _render_frame(
+            self.landmarks, right_pose, self.image_size, self.camera, self.seed
+        )
+        return left, right
+
 
 def _project_equirect(p_cam, H, W):
     r = np.linalg.norm(p_cam, axis=-1) + 1e-9
@@ -119,11 +133,19 @@ def make_panoramic_world(
 
     th = np.linspace(0, 2 * np.pi, num_steps, endpoint=False)
     poses = []
+    # Pinhole cameras project along +z (y down), so tilt the yaw-only body
+    # pose into an optical frame whose z-axis points along the heading.
+    # R_bc maps cam axes into body: x_cam→-y, y_cam→-z, z_cam→x.
+    q_bc = jnp.array([-0.5, 0.5, -0.5, 0.5])
     for t in th:
         se2 = jnp.array(
             [0.3 * radius * np.cos(t), 0.3 * radius * np.sin(t), t + np.pi / 2]
         )
-        poses.append(np.asarray(geometry.se2_to_se3(se2)))
+        pose = geometry.se2_to_se3(se2)
+        if camera == "pinhole":
+            q = geometry.quat_multiply(pose[3:], q_bc)
+            pose = jnp.concatenate([pose[:3], q])
+        poses.append(np.asarray(pose))
     gt = np.stack(poses).astype(np.float32)
 
     odom = np.zeros((num_steps, 6), np.float32)

@@ -37,13 +37,10 @@ def _peak_for_device():
 
 
 def _time_call(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    from parakeet_slam_tpu.eval.profiling import timed
+
+    dt, _ = timed(fn, *args, reps=reps, warmup=1)
+    return dt
 
 
 def bench_ekf(P=2048, L=10240, Z=32):

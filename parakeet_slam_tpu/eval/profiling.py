@@ -16,6 +16,7 @@ import contextlib
 import time
 
 import jax
+import numpy as np
 
 
 @contextlib.contextmanager
@@ -28,17 +29,40 @@ def trace(log_dir: str, create_perfetto_link: bool = False):
         jax.profiler.stop_trace()
 
 
+def device_sync(out):
+    """Force REAL device completion by reading back one element of the last
+    output. On the tunneled TPU backend in this environment,
+    `jax.block_until_ready` returns without waiting (verified: 10 chained
+    8192^3 matmuls "finished" in 53us), so every timing harness must sync
+    through a host readback; the device queue is in-order, so one element
+    of the final result fences everything before it."""
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    flat = jax.numpy.ravel(leaf) if hasattr(leaf, "ravel") else leaf
+    np.asarray(jax.device_get(flat[:1]))
+    return out
+
+
 def timed(fn, *args, reps: int = 10, warmup: int = 2):
-    """(mean_seconds, last_output) with proper device synchronization."""
+    """(mean_seconds, last_output) with readback-fenced synchronization.
+
+    The constant readback latency is removed by differencing a 1-rep
+    baseline from the reps-long chain (slope method)."""
     out = None
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps, out
+    device_sync(out)
+
+    def chain(k):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(k):
+            o = fn(*args)
+        device_sync(o)
+        return time.perf_counter() - t0
+
+    t1 = min(chain(1) for _ in range(2))
+    tn = min(chain(reps + 1) for _ in range(2))
+    return max((tn - t1) / reps, 1e-9), out
 
 
 def annotate(name: str):

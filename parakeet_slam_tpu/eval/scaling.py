@@ -43,14 +43,16 @@ def _filter_throughput(n_devices: int, particles_per_device: int = 256,
     obs = make_observation(z, sig=jnp.zeros((16, 3)), valid=jnp.ones((16,), bool))
     u = jnp.array([0.1, 0.0, 0.02])
     key = jax.random.PRNGKey(0)
+    from parakeet_slam_tpu.eval.profiling import device_sync
+
     # warmup/compile
     state, _ = sharded.step(state, u, obs, key)
-    jax.block_until_ready(state.pose)
+    device_sync(state.pose)
     t0 = time.perf_counter()
     for i in range(steps):
         key, k = jax.random.split(key)
         state, _ = sharded.step(state, u, obs, k)
-    jax.block_until_ready(state.pose)
+    device_sync(state.pose)
     return steps / (time.perf_counter() - t0)
 
 

@@ -125,7 +125,9 @@ class FastSLAM:
         nu, Q, H, ll_geom = pair_fn(state.pose, state.lm_mean, state.lm_cov)
 
         ll = ll_geom + self._appearance_loglik(sig, desc, state.lm_sig, state.lm_desc, dtype)
-        ll = jnp.where(state.lm_valid, ll, _NEG_INF)
+        # Non-finite likelihoods (fp32 overflow in Q for degenerate geometry)
+        # must lose the association argmax, not win it via NaN comparisons.
+        ll = jnp.where(state.lm_valid & jnp.isfinite(ll), ll, _NEG_INF)
 
         best = jnp.argmax(ll, axis=-1)                      # [P]
         best_ll = jnp.take_along_axis(ll, best[:, None], axis=1)[:, 0]

@@ -32,6 +32,12 @@ from parakeet_slam_tpu.core import geometry
 from parakeet_slam_tpu.core.config import FilterConfig, FrontendConfig
 from parakeet_slam_tpu.core.geometry import wrap_angle
 
+# Minimum camera-frame depth for projective models. Must be large enough
+# that H ~ fx/z stays in float32 range through det(Q) ~ (sigma * (fx*x/z^2)^2)^3
+# for out-of-view landmarks — 1e-3 overflows det3 to inf-inf=NaN and poisons
+# the particle weights (NaN wins every argmax comparison).
+MIN_DEPTH = 0.1
+
 # ---------------------------------------------------------------------------
 # Motion models (sampled, per SURVEY.md §3 "Motion update")
 # ---------------------------------------------------------------------------
@@ -211,12 +217,12 @@ def _pinhole_3d(cfg: FilterConfig, fe: FrontendConfig) -> MeasurementModel:
 
     def h(pose, lm):
         p = cam_point(pose, lm)
-        z = jnp.clip(p[2], 1e-3)
+        z = jnp.clip(p[2], MIN_DEPTH)
         return jnp.stack([fx * p[0] / z + cx, fy * p[1] / z + cy])
 
     def jac(pose, lm):
         p = cam_point(pose, lm)
-        z = jnp.clip(p[2], 1e-3)
+        z = jnp.clip(p[2], MIN_DEPTH)
         duv_dp = jnp.stack(
             [
                 jnp.stack([fx / z, jnp.zeros_like(z), -fx * p[0] / (z * z)]),
@@ -267,14 +273,14 @@ def _stereo_3d(cfg: FilterConfig, fe: FrontendConfig) -> MeasurementModel:
 
     def h(pose, lm):
         p = geometry.se3_apply_inverse(pose, lm)
-        z = jnp.clip(p[2], 1e-3)
+        z = jnp.clip(p[2], MIN_DEPTH)
         return jnp.stack(
             [fx * p[0] / z + cx, fy * p[1] / z + cy, fx * b / z]
         )
 
     def jac(pose, lm):
         p = geometry.se3_apply_inverse(pose, lm)
-        z = jnp.clip(p[2], 1e-3)
+        z = jnp.clip(p[2], MIN_DEPTH)
         zero = jnp.zeros_like(z)
         dz_dp = jnp.stack(
             [

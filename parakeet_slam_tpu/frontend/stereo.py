@@ -72,7 +72,7 @@ def keypoint_disparity(
         valid
         & (best > 0)
         & (best < max_disp - 1)
-        & (xi - max_disp >= -2)
+        & (xi - best >= -2)
         & (best_sad / patch_energy < 0.35)
     )
     return jnp.where(ok, disp, 0.0), ok

@@ -90,22 +90,18 @@ class SLAMSystem:
         desc = describe(img, xy, valid, wrap_x=self.wrap_x)
         return xy, desc, valid
 
-    def _to_observation(self, xy, desc, valid, img_right=None):
-        """Keypoints -> fixed-capacity filter Observation (top Zmax rows)."""
+    def _to_observation(self, z, desc, valid):
+        """Keypoint measurements -> fixed-capacity filter Observation."""
         Z = self.cfg.filter.max_observations
-        xy = xy[:Z]
+        z = z[:Z]
         desc = desc[:Z]
         valid = valid[:Z]
-        if self.cfg.filter.obs_dim == 3:
-            # stereo: disparity from a horizontal matcher would go here; the
-            # synthetic/stereo path supplies uvd directly via process_obs.
-            raise ValueError("stereo requires explicit uvd observations")
-        pad = Z - xy.shape[0]
+        pad = Z - z.shape[0]
         if pad > 0:
-            xy = jnp.pad(xy, ((0, pad), (0, 0)))
+            z = jnp.pad(z, ((0, pad), (0, 0)))
             desc = jnp.pad(desc, ((0, pad), (0, 0)))
             valid = jnp.pad(valid, (0, pad))
-        return make_observation(xy, desc=desc, valid=valid)
+        return make_observation(z, desc=desc, valid=valid)
 
     # -- keyframe / loop closure -----------------------------------------
 
@@ -144,33 +140,58 @@ class SLAMSystem:
 
     def _try_loop_closure(self, kf: Keyframe, min_matches: int = 12):
         """Match this keyframe's descriptors against older keyframes
-        (skipping recent neighbors); add a graph edge on success."""
+        (skipping recent neighbors); add a graph edge on success.
+
+        Correspondences are mutually cross-checked (forward+reverse NN must
+        agree — the one-directional ratio test alone lets many query rows
+        collapse onto one train row and feeds Horn garbage), then the Horn
+        fit is iterated on inliers and the closure rejected unless a tight
+        consensus remains."""
+        use_pallas = jax.devices()[0].platform == "tpu"
         best_pair = None
         for old in self.keyframes[: max(0, kf.index - 3)]:
             idx, dist = match_mod.match(
                 jnp.asarray(kf.desc), jnp.asarray(kf.valid),
                 jnp.asarray(old.desc), jnp.asarray(old.valid),
                 ratio=self.cfg.frontend.match_ratio,
-                use_pallas=jax.devices()[0].platform == "tpu",
-                interpret=False,
+                use_pallas=use_pallas, interpret=False,
             )
-            idx = np.asarray(idx)
-            matched = idx >= 0
-            n = int(matched.sum())
+            ridx, _ = match_mod.match(
+                jnp.asarray(old.desc), jnp.asarray(old.valid),
+                jnp.asarray(kf.desc), jnp.asarray(kf.valid),
+                ratio=self.cfg.frontend.match_ratio,
+                use_pallas=use_pallas, interpret=False,
+            )
+            idx, ridx = np.asarray(idx), np.asarray(ridx)
+            rows = np.arange(len(idx))
+            mutual = (idx >= 0) & (ridx[np.clip(idx, 0, len(ridx) - 1)] == rows)
+            n = int(mutual.sum())
             if n >= min_matches and (best_pair is None or n > best_pair[0]):
-                best_pair = (n, old, idx)
+                best_pair = (n, old, idx, mutual)
         if best_pair is None:
             return False
-        n, old, idx = best_pair
-        rows = np.where(idx >= 0)[0]
+        n, old, idx, mutual = best_pair
+        rows = np.where(mutual)[0]
         pa = jnp.asarray(kf.points_kf[rows])          # in kf frame
         pb = jnp.asarray(old.points_kf[idx[rows]])    # in old-kf frame
-        valid = jnp.ones((len(rows),), bool)
+        valid = np.ones((len(rows),), bool)
         # T such that p_old ≈ T(p_kf)  => Z_{old,kf} = T_old⁻¹ T_kf measured
-        rel = graph_mod.estimate_relative_pose_3d3d(pb, pa, valid)
+        rel = None
+        for _ in range(3):  # Horn + inlier re-fit (RANSAC-lite consensus)
+            if int(valid.sum()) < max(min_matches, 4):
+                return False
+            rel = graph_mod.estimate_relative_pose_3d3d(
+                pb, pa, jnp.asarray(valid)
+            )
+            fit = jax.vmap(lambda p: geometry.se3_apply(rel, p))(pa)
+            res = np.linalg.norm(np.asarray(fit) - np.asarray(pb), axis=1)
+            valid = res < self.cfg.backend.loop_inlier_radius
+        n_in = int(valid.sum())
+        if n_in < max(min_matches, 4):
+            return False
         self.graph = graph_mod.add_edge(
             self.graph, old.index, kf.index, rel,
-            info=jnp.full((6,), float(n)),
+            info=jnp.full((6,), float(n_in)),
         )
         self.loop_closures.append((old.index, kf.index))
         return True
@@ -203,9 +224,29 @@ class SLAMSystem:
         return self._step_with_obs(obs, odom_u, k_step)
 
     def process_obs(self, obs, odom_u) -> np.ndarray:
-        """Bypass the image frontend with a ready Observation (stereo uvd,
-        simulation, or an external detector)."""
+        """Bypass the image frontend with a ready Observation (simulation,
+        or an external detector)."""
         self.key, k_step = jax.random.split(self.key)
+        return self._step_with_obs(obs, odom_u, k_step)
+
+    def process_stereo_frame(self, img_left, img_right, odom_u) -> np.ndarray:
+        """Stereo pair (KITTI config 3): detect/describe on the left image,
+        SAD disparity against the right, feed [u, v, d] observations to the
+        stereo_3d measurement model."""
+        from parakeet_slam_tpu.frontend.stereo import keypoint_disparity
+
+        if self.cfg.filter.obs_dim != 3:
+            raise ValueError("stereo frames need obs_dim=3 (stereo_3d model)")
+        self.key, k_step = jax.random.split(self.key)
+        img_left = jnp.asarray(img_left)
+        xy, desc, valid = self._frontend_jit(img_left)
+        Z = self.cfg.filter.max_observations
+        xy, desc, valid = xy[:Z], desc[:Z], valid[:Z]
+        disp, dvalid = keypoint_disparity(
+            img_left, jnp.asarray(img_right), xy, valid
+        )
+        uvd = jnp.concatenate([xy, disp[:, None]], axis=1)
+        obs = self._to_observation(uvd, desc, valid & dvalid)
         return self._step_with_obs(obs, odom_u, k_step)
 
     def _step_with_obs(self, obs, odom_u, k_step):
