@@ -91,9 +91,16 @@ def solve_psd_small(m: jax.Array, b: jax.Array, eps: float = 1e-12) -> jax.Array
 
 
 def mahalanobis_and_logdet(q: jax.Array, nu: jax.Array, eps: float = 1e-12):
-    """Return (νᵀ Q⁻¹ ν, log|Q|, Q⁻¹) for small PSD Q [..., D, D], ν [..., D]."""
+    """Return (νᵀ Q⁻¹ ν, log|Q|, Q⁻¹) for small PSD Q [..., D, D], ν [..., D].
+
+    maha is clamped to >= 0: when Q drifts indefinite (EKF covariances are
+    only PSD up to fp error) the clamped-det cofactor inverse can flip sign
+    and a negative "distance" would turn into a huge POSITIVE log-likelihood
+    that wins every association and explodes the particle weights.
+    """
     inv, det = inv_psd(q, eps)
     maha = jnp.einsum("...i,...ij,...j->...", nu, inv, nu)
+    maha = jnp.maximum(maha, 0.0)
     logdet = jnp.log(jnp.clip(det, eps))
     return maha, logdet, inv
 

@@ -77,6 +77,58 @@ def bench_ekf(P=2048, L=10240, Z=32):
     return dt, bytes_moved, flops
 
 
+def bench_ekf3d(P=1024, L=8192, Z=32, model="equirect_3d"):
+    """Fused 3-D vision-model measurement update at panoramic-config scale."""
+    from parakeet_slam_tpu.kernels import ekf_update_3d
+
+    W = 8
+    Dz = 3 if model == "stereo_3d" else 2
+    key = jax.random.PRNGKey(0)
+    pose = jnp.concatenate(
+        [
+            0.01 * jax.random.normal(key, (P, 3)),
+            jnp.broadcast_to(jnp.array([0.0, 0.0, 0.0, 1.0]), (P, 4)),
+        ],
+        axis=1,
+    )
+    log_w = jnp.zeros((P,))
+    lm_mean = jax.random.normal(jax.random.fold_in(key, 1), (P, L, 3)) * 10
+    cov = jnp.broadcast_to(0.1 * jnp.eye(3), (P, L, 3, 3))
+    lm_desc = jax.random.randint(
+        jax.random.fold_in(key, 2), (P, L, W), 0, 2**31 - 1, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    lm_valid = jnp.ones((P, L), bool)
+    lm_count = jnp.ones((P, L), jnp.int32)
+    z = jax.random.uniform(key, (Z, Dz), minval=10.0, maxval=100.0)
+    desc = jax.random.randint(
+        jax.random.fold_in(key, 3), (Z, W), 0, 2**31 - 1, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    valid = jnp.ones((Z,), bool)
+    interpret = jax.devices()[0].platform != "tpu"
+    par = (
+        ("fx", 500.0), ("fy", 500.0), ("cx", 1024.0), ("cy", 512.0),
+        ("baseline", 0.3), ("img_w", 2048.0), ("img_h", 1024.0),
+    )
+
+    def call():
+        return ekf_update_3d.measurement_update_3d(
+            pose, log_w, lm_mean, jnp.asarray(cov), lm_desc, lm_valid,
+            lm_count, z, desc, valid,
+            model=model, desc_words=W, par=par,
+            r_var=(4.0, 4.0, 2.25)[:Dz], desc_weight=0.1, log_p0=-30.0,
+            init_infl=1.0, init_range_prior=5.0, init_range_sigma=2.5,
+            max_range=60.0, cull=True, interpret=interpret,
+        )
+
+    dt = _time_call(call, reps=5)
+    # planes r+w once per frame: 9 geom + W desc + valid + count
+    plane_bytes = P * L * 4
+    bytes_moved = plane_bytes * (11 + W) * 2
+    # dominant flops: Z obs x P x L x ~200 flops (3x3 algebra + hamming)
+    flops = Z * P * L * 200
+    return dt, bytes_moved, flops
+
+
 def bench_resample(P=2048, L=10240):
     from parakeet_slam_tpu.kernels import resample_pallas
 
@@ -134,6 +186,7 @@ def bench_schur(N=262144):
 
 BENCHES = {
     "ekf_update": bench_ekf,
+    "ekf_update_3d": bench_ekf3d,
     "resample": bench_resample,
     "match": bench_match,
     "schur": bench_schur,

@@ -52,6 +52,7 @@ class FastSLAM:
 
     def __init__(self, cfg: FilterConfig, fe_cfg: FrontendConfig | None = None):
         self.cfg = cfg
+        self.fe_cfg = fe_cfg
         self.model = model_zoo.get_measurement_model(cfg, fe_cfg)
         self.motion = model_zoo.get_motion_model(cfg.motion_model)
         if cfg.obs_dim != self.model.obs_dim or cfg.lm_dim != self.model.lm_dim:
@@ -238,6 +239,48 @@ class FastSLAM:
         )
         return state, jnp.mean(n_match)
 
+    def _measurement_update_pallas_3d(self, state: ParticleState, obs: Observation):
+        """Route a frame through the fused 3-D vision-model Pallas kernel
+        (`kernels/ekf_update_3d`). Parity with the XLA path is tested in
+        tests/test_ekf3d_kernel.py."""
+        from parakeet_slam_tpu.kernels import ekf_update_3d
+
+        c = self.cfg
+        fe = self.fe_cfg
+        interpret = jax.devices()[0].platform != "tpu"
+        fx, fy, cx, cy = (fe.intrinsics[:4] if fe else (500.0, 500.0, 320.0, 240.0))
+        H_img, W_img = fe.image_size if fe else (480, 640)
+        par = (
+            ("fx", float(fx)), ("fy", float(fy)),
+            ("cx", float(cx)), ("cy", float(cy)),
+            ("baseline", float(fe.baseline if fe else 0.1)),
+            ("img_w", float(W_img)), ("img_h", float(H_img)),
+        )
+        (log_w, lm_mean, lm_cov, lm_desc, lm_valid, lm_count, n_match) = (
+            ekf_update_3d.measurement_update_3d(
+                state.pose, state.log_w, state.lm_mean, state.lm_cov,
+                state.lm_desc, state.lm_valid, state.lm_count,
+                obs.z, obs.desc, obs.valid,
+                model=self.model.name,
+                desc_words=c.desc_words,
+                par=par,
+                r_var=tuple(float(v) ** 2 for v in c.meas_noise[: c.obs_dim]),
+                desc_weight=float(c.desc_weight),
+                log_p0=float(c.new_landmark_loglik),
+                init_infl=float(c.init_cov_inflation),
+                init_range_prior=float(c.init_range_prior),
+                init_range_sigma=float(c.init_range_sigma),
+                max_range=float(c.max_range),
+                cull=c.cull_enabled,
+                interpret=interpret,
+            )
+        )
+        state = state.replace(
+            log_w=log_w, lm_mean=lm_mean, lm_cov=lm_cov, lm_desc=lm_desc,
+            lm_valid=lm_valid, lm_count=lm_count,
+        )
+        return state, jnp.mean(n_match)
+
     def measurement_update(
         self, state: ParticleState, obs: Observation, key=None
     ) -> tuple[ParticleState, StepMetrics]:
@@ -257,6 +300,12 @@ class FastSLAM:
 
         if c.use_pallas and self.model.name == "range_bearing_2d":
             return self._measurement_update_pallas(state, obs)
+        if (
+            c.use_pallas
+            and c.sig_dim == 0
+            and self.model.name in ("pinhole_3d", "stereo_3d", "equirect_3d")
+        ):
+            return self._measurement_update_pallas_3d(state, obs)
 
         def scan_body(carry, obs_row):
             st, matched, n_match = carry

@@ -141,9 +141,13 @@ def _kernel(
             det = jnp.maximum(q11 * q22 - q12 * q12, 1e-12)
             nu1 = zr - r
             nu2 = _wrap(zphi - (_atan2(dy, dx) - pth))
-            maha = (
-                nu1 * nu1 * q22 - 2.0 * nu1 * nu2 * q12 + nu2 * nu2 * q11
-            ) / det
+            # clamp: indefinite Q (fp-drifted cov) must lose the argmax,
+            # not win it with a sign-flipped "negative distance"
+            maha = jnp.maximum(
+                (nu1 * nu1 * q22 - 2.0 * nu1 * nu2 * q12 + nu2 * nu2 * q11)
+                / det,
+                0.0,
+            )
             ll = -0.5 * (maha + jnp.log(det) + 2.0 * _LOG_2PI)
             for s in range(sig_dim):
                 ds_ = sig_out[s][:, sl] - sig_ref[i, s]

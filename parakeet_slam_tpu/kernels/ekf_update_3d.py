@@ -1,0 +1,661 @@
+"""Fused FastSLAM measurement-update Pallas kernel for the 3-D vision
+models (pinhole_3d / stereo_3d / equirect_3d).
+
+The 2-D range-bearing twin lives in `kernels/ekf_update.py`; this kernel
+covers the camera configs (TUM/KITTI/EuRoC/panoramic — BASELINE.json
+configs 2-5), where the XLA path's per-pair materialization is the
+bottleneck: each observation materializes H [P, L, Dz, 3] and
+Q [P, L, Dz, Dz] in HBM (~300 MB each at P=1024, L=8192), roughly
+60 GB of HBM traffic per 32-observation frame. Here the whole frame runs
+with the landmark planes resident in VMEM: state is read from HBM once and
+written once, regardless of Z.
+
+Layout: structure-of-arrays [P, L] planes — mean x/y/z (3), covariance
+upper triangle (6), packed BRIEF descriptor words (uint32 x W), valid,
+count. The camera pose enters as a per-particle row [P, 12] holding the
+world->camera rotation R_cw (9) and camera position t (3), precomputed in
+XLA from the quaternion.
+
+The small-matrix algebra (H = dproj/dp_cam . R_cw, Q = H S Ht + R, cofactor
+inverses, K = S Ht Qinv, S' = (I-KH) S) is written ONCE over python lists
+of planes and unrolled at trace time — the same code path serves the
+[Pt, chunk] likelihood sweep and the [Pt, 1] per-particle update, and
+Dz in {2, 3} is a static parameter.
+
+Association and allocation follow the 2-D kernel exactly: running-best over
+landmark chunks, explicit first-match lane-min (Mosaic argmax tie-breaking
+differs from interpret mode), padded lanes never associated or allocated.
+Semantics match `filter/fastslam.py::_process_observation` (parity-tested
+in tests/test_ekf3d_kernel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from parakeet_slam_tpu.kernels import mathx
+
+_NEG_INF = -1e30
+_LOG_2PI = math.log(2.0 * math.pi)
+_MIN_DEPTH = 0.1  # must match filter/models.py MIN_DEPTH
+
+_atan2 = mathx.atan2
+_wrap = mathx.wrap_angle
+
+
+# ---------------------------------------------------------------------------
+# Shape-generic small-matrix helpers (python lists of planes, unrolled)
+# ---------------------------------------------------------------------------
+
+
+def _matmul(A, B):
+    """[r x k] @ [k x c] for nested lists of arrays."""
+    r, k, c = len(A), len(B), len(B[0])
+    return [
+        [sum(A[i][t] * B[t][j] for t in range(k)) for j in range(c)]
+        for i in range(r)
+    ]
+
+
+def _matvec(A, v):
+    return [sum(A[i][t] * v[t] for t in range(len(v))) for i in range(len(A))]
+
+
+def _transpose(A):
+    return [[A[i][j] for i in range(len(A))] for j in range(len(A[0]))]
+
+
+def _sym_inv_det(Q):
+    """Inverse + det of a symmetric 2x2 or 3x3 given as nested lists."""
+    n = len(Q)
+    if n == 2:
+        det = Q[0][0] * Q[1][1] - Q[0][1] * Q[0][1]
+        det = jnp.maximum(det, 1e-12)
+        inv = [[Q[1][1] / det, -Q[0][1] / det], [-Q[0][1] / det, Q[0][0] / det]]
+        return inv, det
+    a, b, c = Q[0][0], Q[0][1], Q[0][2]
+    e, f, i = Q[1][1], Q[1][2], Q[2][2]
+    A = e * i - f * f
+    B = -(b * i - f * c)
+    C = b * f - e * c
+    E = a * i - c * c
+    F = -(a * f - c * b)
+    II = a * e - b * b
+    det = a * A + b * B + c * C
+    det = jnp.maximum(det, 1e-12)
+    inv = [
+        [A / det, B / det, C / det],
+        [B / det, E / det, F / det],
+        [C / det, F / det, II / det],
+    ]
+    return inv, det
+
+
+def _inv3_general(H, eps=1e-9):
+    """Cofactor inverse of a general 3x3 nested list (for stereo init)."""
+    a, b, c = H[0]
+    d, e, f = H[1]
+    g, h, i = H[2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    Hc = -(a * f - c * d)
+    II = a * e - b * d
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < eps, eps, det)
+    return [
+        [A / det, D / det, G / det],
+        [B / det, E / det, Hc / det],
+        [C / det, F / det, II / det],
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Measurement models in plane space
+# ---------------------------------------------------------------------------
+
+
+def _cam_point(R, t, m):
+    """p_cam = R_cw (m - t); R nested [3][3], t/m lists of 3 planes."""
+    d = [m[0] - t[0], m[1] - t[1], m[2] - t[2]]
+    return _matvec(R, d)
+
+
+def _model_hH(model, p, R, par):
+    """(zhat list[Dz], H nested [Dz][3]) from camera-frame point p.
+
+    H is d zhat / d m_world = (d zhat / d p_cam) . R_cw.
+    """
+    if model in ("pinhole_3d", "stereo_3d"):
+        fx, fy, cx, cy = par["fx"], par["fy"], par["cx"], par["cy"]
+        z = jnp.maximum(p[2], _MIN_DEPTH)
+        iz = 1.0 / z
+        u = fx * p[0] * iz + cx
+        v = fy * p[1] * iz + cy
+        zero = jnp.zeros_like(z)
+        Hp = [
+            [fx * iz, zero, -fx * p[0] * iz * iz],
+            [zero, fy * iz, -fy * p[1] * iz * iz],
+        ]
+        zhat = [u, v]
+        if model == "stereo_3d":
+            fxb = par["fx"] * par["baseline"]
+            zhat.append(fxb * iz)
+            Hp.append([zero, zero, -fxb * iz * iz])
+        return zhat, _matmul(Hp, R)
+    # equirect_3d
+    W_img, H_img = par["img_w"], par["img_h"]
+    ku = W_img / (2.0 * math.pi)
+    kv = H_img / math.pi
+    x, y, z = p
+    rho2 = x * x + y * y + 1e-9
+    r2 = rho2 + z * z
+    rho = jnp.sqrt(rho2)
+    az = _atan2(y, x)
+    el = _atan2(z, rho)  # asin(z/r) == atan2(z, rho)
+    u = (az + math.pi) * ku
+    v = (math.pi / 2.0 - el) * kv
+    zero = jnp.zeros_like(x)
+    du = [-ku * y / rho2, ku * x / rho2, zero]
+    s = kv / (r2 * rho)
+    dv = [x * z * s, y * z * s, -rho2 * s]
+    return [u, v], _matmul([du, dv], R)
+
+
+def _model_residual(model, zobs, zhat, par):
+    nu = [zobs[k] - zhat[k] for k in range(len(zhat))]
+    if model == "equirect_3d":
+        W_img = par["img_w"]
+        d = nu[0]
+        nu[0] = d - W_img * jnp.floor(d / W_img + 0.5)
+    return nu
+
+
+def _model_in_fov(model, p, zhat, par, max_range):
+    if model == "equirect_3d":
+        r2 = p[0] * p[0] + p[1] * p[1] + p[2] * p[2]
+        return r2 < max_range * max_range
+    W_img, H_img = par["img_w"], par["img_h"]
+    return (
+        (p[2] > 0.05)
+        & (p[2] < max_range)
+        & (zhat[0] >= 0.0)
+        & (zhat[0] < W_img)
+        & (zhat[1] >= 0.0)
+        & (zhat[1] < H_img)
+    )
+
+
+def _model_init(model, zobs, R, Rt, t, par, r_var, init_infl,
+                init_range_prior, init_range_sigma):
+    """New-landmark (mean list[3], cov upper-tri list[6]) in world frame.
+
+    Rt = R_cw^T = R_wc (camera->world rotation).
+    """
+    if model == "stereo_3d":
+        fx, fy, cx, cy = par["fx"], par["fy"], par["cx"], par["cy"]
+        fxb = fx * par["baseline"]
+        depth = fxb / jnp.maximum(zobs[2], 1e-3)
+        pc = [(zobs[0] - cx) / fx * depth, (zobs[1] - cy) / fy * depth, depth]
+        mw = _matvec(Rt, pc)
+        mean = [t[k] + mw[k] for k in range(3)]
+        # cov = infl * Hinv Rm Hinv^T with H at the init point
+        _, H = _model_hH(model, pc, R, par)
+        Hinv = _inv3_general(H)
+        # Hinv @ diag(r_var) @ Hinv^T
+        cov = [
+            [
+                sum(Hinv[i][k] * r_var[k] * Hinv[j][k] for k in range(3))
+                * init_infl
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        return mean, [cov[0][0], cov[0][1], cov[0][2],
+                      cov[1][1], cov[1][2], cov[2][2]]
+    if model == "pinhole_3d":
+        fx, fy, cx, cy = par["fx"], par["fy"], par["cx"], par["cy"]
+        rx = (zobs[0] - cx) / fx
+        ry = (zobs[1] - cy) / fy
+        rz = jnp.ones_like(rx)
+        n = jnp.sqrt(rx * rx + ry * ry + 1.0)
+        ray = [rx / n, ry / n, rz / n]
+        sig_t = init_range_prior * math.sqrt(r_var[0]) / fx
+    else:  # equirect_3d
+        W_img, H_img = par["img_w"], par["img_h"]
+        az = zobs[0] / W_img * 2.0 * math.pi - math.pi
+        el = math.pi / 2.0 - zobs[1] / H_img * math.pi
+        ce = jnp.cos(el)
+        ray = [ce * jnp.cos(az), ce * jnp.sin(az), jnp.sin(el)]
+        sig_t = init_range_prior * (2.0 * math.pi / par["img_w"]) * math.sqrt(
+            r_var[0]
+        )
+    ray_w = _matvec(Rt, ray)
+    mean = [t[k] + init_range_prior * ray_w[k] for k in range(3)]
+    sr2 = init_range_sigma * init_range_sigma
+    st2 = sig_t * sig_t
+    cov6 = []
+    for i in range(3):
+        for j in range(i, 3):
+            along = ray_w[i] * ray_w[j]
+            eye = 1.0 if i == j else 0.0
+            cov6.append(init_infl * (sr2 * along + st2 * (eye - along)))
+    return mean, cov6
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+_COV_IDX = {  # (i, j) -> flat upper-tri index
+    (0, 0): 0, (0, 1): 1, (0, 2): 2,
+    (1, 0): 1, (1, 1): 3, (1, 2): 4,
+    (2, 0): 2, (2, 1): 4, (2, 2): 5,
+}
+
+
+def _kernel(
+    z_ref, dz_ref, vz_ref,       # SMEM: [Z, Dz] f32, [Z, W] i32, [Z] i32
+    cam_ref, logw_ref,           # VMEM rows: [Pt, 12], [Pt, 1]
+    refs,
+    *,
+    model: str,
+    Dz: int,
+    desc_words: int,
+    num_obs: int,
+    num_landmarks: int,
+    chunk: int,
+    par: dict,
+    r_var: tuple,
+    desc_weight: float,
+    log_p0: float,
+    init_infl: float,
+    init_range_prior: float,
+    init_range_sigma: float,
+    max_range: float,
+    cull: bool,
+):
+    W = desc_words
+    mean_in = refs[0:3]
+    cov_in = refs[3:9]
+    desc_in = refs[9 : 9 + W]
+    lv_ref, lc_ref = refs[9 + W], refs[10 + W]
+    out = refs[11 + W :]
+    logw_o = out[0]
+    mean_o = out[1:4]
+    cov_o = out[4:10]
+    desc_o = out[10 : 10 + W]
+    lv_o, lc_o = out[10 + W], out[11 + W]
+    nmatch_o = out[12 + W]
+    ll_s, matched_s = out[13 + W], out[14 + W]  # VMEM scratch refs
+
+    P, L = mean_o[0].shape
+    NC = L // chunk
+
+    # ---- init: copy state into aliased outputs --------------------------
+    logw_o[:, :] = logw_ref[:, :]
+    for k in range(3):
+        mean_o[k][:, :] = mean_in[k][:, :]
+    for k in range(6):
+        cov_o[k][:, :] = cov_in[k][:, :]
+    for k in range(W):
+        desc_o[k][:, :] = desc_in[k][:, :]
+    lv_o[:, :] = lv_ref[:, :]
+    lc_o[:, :] = lc_ref[:, :]
+    nmatch_o[:, :] = jnp.zeros((P, 1), jnp.float32)
+    matched_s[:, :] = jnp.zeros((P, L), jnp.float32)
+
+    R = [[cam_ref[:, 3 * i + j : 3 * i + j + 1] for j in range(3)]
+         for i in range(3)]
+    Rt = _transpose(R)
+    t = [cam_ref[:, 9 + k : 10 + k] for k in range(3)]
+
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+    real_f = lane_f < num_landmarks
+    BIG_LANE = jnp.int32(2**30)
+
+    def obs_body(i, _):
+        zobs = [z_ref[i, k] for k in range(Dz)]
+        ovalid = vz_ref[i] > 0
+
+        # ---- pass A: likelihood sweep, chunked over landmarks -----------
+        def ll_chunk(c, _):
+            sl = pl.ds(c * chunk, chunk)
+            m = [mean_o[k][:, sl] for k in range(3)]
+            S = [[cov_o[_COV_IDX[(a, b)]][:, sl] for b in range(3)]
+                 for a in range(3)]
+            p = _cam_point(R, t, m)
+            zhat, H = _model_hH(model, p, R, par)
+            nu = _model_residual(model, zobs, zhat, par)
+            # Q = H S Ht + diag(r_var)
+            HS = _matmul(H, S)
+            Q = _matmul(HS, _transpose(H))
+            for k in range(Dz):
+                Q[k][k] = Q[k][k] + r_var[k]
+            Qi, det = _sym_inv_det(Q)
+            # clamp: indefinite Q (fp-drifted cov) must lose the argmax, not
+            # win it with a sign-flipped "negative distance"
+            maha = jnp.maximum(
+                sum(
+                    nu[a] * Qi[a][b] * nu[b]
+                    for a in range(Dz) for b in range(Dz)
+                ),
+                0.0,
+            )
+            ll = -0.5 * (maha + jnp.log(det) + Dz * _LOG_2PI)
+            if W > 0:
+                ham = jnp.zeros_like(ll)
+                for w in range(W):
+                    x = jnp.bitwise_xor(desc_o[w][:, sl], dz_ref[i, w])
+                    ham = ham + jax.lax.population_count(x).astype(jnp.float32)
+                ll = ll - desc_weight * ham
+            ok = (lv_o[:, sl] > 0) & ((lane_c + c * chunk) < num_landmarks)
+            ll_s[:, sl] = jnp.where(ok, ll, _NEG_INF)
+            return 0
+
+        jax.lax.fori_loop(0, NC, ll_chunk, 0)
+
+        # ---- association -------------------------------------------------
+        best_ll = jnp.max(ll_s[:, :], axis=1, keepdims=True)
+        best_idx = jnp.min(
+            jnp.where(ll_s[:, :] == best_ll, lane_f, BIG_LANE),
+            axis=1, keepdims=True,
+        )
+        onehot = (lane_f == best_idx).astype(jnp.float32)
+        any_valid = best_ll > _NEG_INF / 2
+        is_new = (best_ll < log_p0) | ~any_valid
+        do_upd = ~is_new & ovalid
+
+        # ---- gather associated landmark ----------------------------------
+        def pick(plane):
+            return jnp.sum(plane[:, :] * onehot, axis=1, keepdims=True)
+
+        m_b = [pick(mean_o[k]) for k in range(3)]
+        c_b6 = [pick(cov_o[k]) for k in range(6)]
+        S = [[c_b6[_COV_IDX[(a, b)]] for b in range(3)] for a in range(3)]
+
+        # ---- EKF update in [P, 1] space ----------------------------------
+        p = _cam_point(R, t, m_b)
+        zhat, H = _model_hH(model, p, R, par)
+        nu = _model_residual(model, zobs, zhat, par)
+        HS = _matmul(H, S)                       # [Dz][3]
+        Q = _matmul(HS, _transpose(H))
+        for k in range(Dz):
+            Q[k][k] = Q[k][k] + r_var[k]
+        Qi, _ = _sym_inv_det(Q)
+        SHt = _transpose(HS)                     # S Ht  [3][Dz]
+        K = _matmul(SHt, Qi)                     # [3][Dz]
+        m_u = [m_b[k] + sum(K[k][a] * nu[a] for a in range(Dz))
+               for k in range(3)]
+        KH = _matmul(K, H)                       # [3][3]
+        IKH = [[(1.0 if a == b else 0.0) - KH[a][b] for b in range(3)]
+               for a in range(3)]
+        Snew = _matmul(IKH, S)
+        c_u6 = [
+            0.5 * (Snew[0][0] + Snew[0][0]),
+            0.5 * (Snew[0][1] + Snew[1][0]),
+            0.5 * (Snew[0][2] + Snew[2][0]),
+            0.5 * (Snew[1][1] + Snew[1][1]),
+            0.5 * (Snew[1][2] + Snew[2][1]),
+            0.5 * (Snew[2][2] + Snew[2][2]),
+        ]
+
+        # ---- allocation (first free real slot) ---------------------------
+        free_idx = jnp.min(
+            jnp.where((lv_o[:, :] < 0.5) & real_f, lane_f, BIG_LANE),
+            axis=1, keepdims=True,
+        )
+        has_free = free_idx < BIG_LANE
+        do_alloc = is_new & has_free & ovalid
+        m_n, c_n6 = _model_init(
+            model, zobs, R, Rt, t, par, r_var, init_infl,
+            init_range_prior, init_range_sigma,
+        )
+
+        # ---- scatter back ------------------------------------------------
+        upd_m = (lane_f == best_idx) & do_upd
+        alloc_m = (lane_f == free_idx) & do_alloc
+        for k in range(3):
+            mean_o[k][:, :] = jnp.where(
+                upd_m, m_u[k], jnp.where(alloc_m, m_n[k], mean_o[k][:, :])
+            )
+        for k in range(6):
+            cov_o[k][:, :] = jnp.where(
+                upd_m, c_u6[k], jnp.where(alloc_m, c_n6[k], cov_o[k][:, :])
+            )
+        touched = upd_m | alloc_m
+        for w in range(W):
+            desc_o[w][:, :] = jnp.where(
+                touched, dz_ref[i, w], desc_o[w][:, :]
+            )
+        lc_o[:, :] = jnp.where(
+            upd_m, lc_o[:, :] + 2.0, jnp.where(alloc_m, 1.0, lc_o[:, :])
+        )
+        lv_o[:, :] = jnp.where(alloc_m, 1.0, lv_o[:, :])
+
+        # ---- weights / bookkeeping --------------------------------------
+        dw = jnp.where(is_new, log_p0, best_ll)
+        logw_o[:, :] = logw_o[:, :] + jnp.where(ovalid, dw, 0.0)
+        matched_s[:, :] = jnp.where(touched, 1.0, matched_s[:, :])
+        nmatch_o[:, :] = nmatch_o[:, :] + jnp.max(
+            jnp.where(touched, 1.0, 0.0), axis=1, keepdims=True
+        )
+        return 0
+
+    jax.lax.fori_loop(0, num_obs, obs_body, 0)
+
+    # ---- culling ---------------------------------------------------------
+    if cull:
+        def cull_chunk(c, _):
+            sl = pl.ds(c * chunk, chunk)
+            m = [mean_o[k][:, sl] for k in range(3)]
+            p = _cam_point(R, t, m)
+            zhat, _ = _model_hH(model, p, R, par)
+            in_fov = _model_in_fov(model, p, zhat, par, max_range)
+            lv = lv_o[:, sl]
+            dec = (
+                (lv > 0)
+                & ((lane_c + c * chunk) < num_landmarks)
+                & in_fov
+                & (matched_s[:, sl] < 0.5)
+            )
+            lc = lc_o[:, sl] - dec.astype(jnp.float32)
+            lc_o[:, sl] = lc
+            lv_o[:, sl] = jnp.where((lv > 0) & (lc >= 0.0), 1.0, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, NC, cull_chunk, 0)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "desc_words", "par", "r_var", "desc_weight", "log_p0",
+        "init_infl", "init_range_prior", "init_range_sigma", "max_range",
+        "cull", "interpret",
+    ),
+)
+def measurement_update_3d(
+    pose, log_w, lm_mean, lm_cov, lm_desc, lm_valid, lm_count,
+    z, desc, valid,
+    *,
+    model: str,
+    desc_words: int,
+    par: tuple,           # hashable dict-as-items of camera params
+    r_var: tuple,
+    desc_weight: float,
+    log_p0: float,
+    init_infl: float,
+    init_range_prior: float,
+    init_range_sigma: float,
+    max_range: float,
+    cull: bool,
+    interpret: bool = False,
+):
+    """Pallas-fused frame measurement update for the 3-D camera models.
+
+    pose [P, 7] (t, q); lm_mean [P, L, 3]; lm_cov [P, L, 3, 3];
+    lm_desc [P, L, W] uint32; z [Z, Dz]; desc [Z, W] uint32.
+    Returns (log_w, lm_mean, lm_cov, lm_desc, lm_valid, lm_count, n_match).
+    """
+    from parakeet_slam_tpu.core import geometry
+
+    par = dict(par)
+    P, L = lm_valid.shape
+    Z, Dz = z.shape
+    W = desc_words
+    Lp = _round_up(max(L, 128), 128)
+    pad = Lp - L
+
+    def pad_plane(a, fill=0.0):
+        if pad == 0:
+            return a
+        return jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
+
+    # Pose -> [P, 12] camera row: R_cw rows then t.
+    Rm = geometry.quat_to_matrix(pose[:, 3:])           # R_wc
+    Rcw = jnp.swapaxes(Rm, -1, -2)
+    cam = jnp.concatenate([Rcw.reshape(P, 9), pose[:, :3]], axis=1)
+
+    mean_planes = [pad_plane(lm_mean[..., k]) for k in range(3)]
+    cov_planes = [
+        pad_plane(lm_cov[..., i, j])
+        for (i, j) in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    ]
+    desc_planes = [
+        pad_plane(lm_desc[..., w].astype(jnp.int32)) for w in range(W)
+    ]
+    lv = pad_plane(lm_valid.astype(jnp.float32))
+    lc = pad_plane(lm_count.astype(jnp.float32))
+
+    logw2 = log_w[:, None]
+    z_in = z.astype(jnp.float32)
+    if W > 0:
+        dz_in = desc.astype(jnp.int32)
+    else:
+        dz_in = jnp.zeros((Z, 1), jnp.int32)
+    vz = valid.astype(jnp.int32)
+
+    n_aliased = 1 + 3 + 6 + W + 2
+    out_shape = (
+        [jax.ShapeDtypeStruct((P, 1), jnp.float32)]
+        + [jax.ShapeDtypeStruct((P, Lp), jnp.float32)] * 9
+        + [jax.ShapeDtypeStruct((P, Lp), jnp.int32)] * W
+        + [jax.ShapeDtypeStruct((P, Lp), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((P, 1), jnp.float32)]   # n_match
+    )
+
+    n_planes = 11 + W
+    chunk = min(Lp, 1024)
+    budget = 12 * 1024 * 1024
+    per_particle = (2 * 2 * n_planes * Lp + 2 * Lp) * 4
+    Pt = max(8, budget // per_particle)
+    Pt = min(P, (Pt // 8) * 8)
+    Pt = max(Pt, 8)
+    while P % Pt:
+        Pt -= 8
+    if Pt <= 0 or P % max(Pt, 1):
+        Pt = P
+    grid = (P // Pt,)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    row = lambda w: pl.BlockSpec(
+        (Pt, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    plane = lambda: row(Lp)
+    in_specs = (
+        [smem(), smem(), smem()]
+        + [row(12), row(1)]
+        + [plane()] * (9 + W + 2)
+    )
+    out_specs = tuple([row(1)] + [plane()] * (9 + W + 2) + [row(1)])
+    scratch = [
+        pltpu.VMEM((Pt, Lp), jnp.float32),  # ll
+        pltpu.VMEM((Pt, Lp), jnp.float32),  # matched
+    ]
+
+    kernel = functools.partial(
+        _kernel_entry,
+        model=model,
+        Dz=Dz,
+        desc_words=W,
+        num_obs=Z,
+        num_landmarks=L,
+        chunk=chunk,
+        par=par,
+        r_var=tuple(r_var),
+        desc_weight=desc_weight,
+        log_p0=log_p0,
+        init_infl=init_infl,
+        init_range_prior=init_range_prior,
+        init_range_sigma=init_range_sigma,
+        max_range=max_range,
+        cull=cull,
+    )
+
+    aliases = {4 + i: i for i in range(n_aliased)}
+
+    results = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        input_output_aliases=aliases,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(z_in, dz_in, vz, cam, logw2, *mean_planes, *cov_planes,
+      *desc_planes, lv, lc)
+
+    logw_n = results[0][:, 0]
+    mean_res = results[1:4]
+    cov_res = results[4:10]
+    desc_res = results[10 : 10 + W]
+    lv_n, lc_n = results[10 + W], results[11 + W]
+    n_match = results[12 + W][:, 0]
+
+    unpad = lambda a: a[:, :L]
+    lm_mean_n = jnp.stack([unpad(p) for p in mean_res], axis=-1)
+    c = [unpad(p) for p in cov_res]
+    cov_n = jnp.stack(
+        [
+            jnp.stack([c[0], c[1], c[2]], axis=-1),
+            jnp.stack([c[1], c[3], c[4]], axis=-1),
+            jnp.stack([c[2], c[4], c[5]], axis=-1),
+        ],
+        axis=-2,
+    )
+    if W > 0:
+        lm_desc_n = jnp.stack(
+            [unpad(p).astype(jnp.uint32) for p in desc_res], axis=-1
+        )
+    else:
+        lm_desc_n = lm_desc
+    return (
+        logw_n,
+        lm_mean_n,
+        cov_n,
+        lm_desc_n,
+        unpad(lv_n) > 0.5,
+        unpad(lc_n).astype(jnp.int32),
+        n_match,
+    )
+
+
+def _kernel_entry(z_ref, dz_ref, vz_ref, cam_ref, logw_ref, *rest, **kw):
+    _kernel(z_ref, dz_ref, vz_ref, cam_ref, logw_ref, rest, **kw)

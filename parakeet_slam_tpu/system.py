@@ -263,6 +263,11 @@ class SLAMSystem:
             if self._try_loop_closure(kf):
                 self._optimize_and_correct()
                 est = self.slam.estimate_pose(self.state)
+            ce = self.cfg.checkpoint_every
+            if ce > 0 and self.cfg.checkpoint_dir and len(self.keyframes) % ce == 0:
+                self.save_checkpoint(
+                    f"{self.cfg.checkpoint_dir}/ckpt_{self.frame_idx:08d}"
+                )
         self.metrics.log(
             self.frame_idx,
             ess=float(metrics.ess),
@@ -272,6 +277,57 @@ class SLAMSystem:
             keyframes=len(self.keyframes),
         )
         return np.asarray(est)
+
+    # -- checkpoint / resume (SURVEY.md §6) --------------------------------
+
+    def save_checkpoint(self, path_prefix: str):
+        """Snapshot filter state + pose graph (+ host-side keyframe store,
+        RNG key, cursors) so a killed run resumes bit-identically."""
+        from parakeet_slam_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_checkpoint(
+            path_prefix + ".state.npz",
+            {"state": self.state, "graph": self.graph, "key": self.key},
+            step=self.frame_idx,
+        )
+        kfs = self.keyframes
+        np.savez(
+            path_prefix + ".kf.npz",
+            n=np.int32(len(kfs)),
+            frame_idx=np.int32(self.frame_idx),
+            last_kf_pose=(
+                self.last_kf_pose
+                if self.last_kf_pose is not None
+                else np.full((7,), np.nan, np.float32)
+            ),
+            loop_closures=np.asarray(self.loop_closures, np.int32).reshape(-1, 2),
+            pose=np.stack([k.pose for k in kfs]) if kfs else np.zeros((0, 7), np.float32),
+            points=np.stack([k.points_kf for k in kfs]) if kfs else np.zeros((0, 0, 3), np.float32),
+            desc=np.stack([k.desc for k in kfs]) if kfs else np.zeros((0, 0, 1), np.uint32),
+            valid=np.stack([k.valid for k in kfs]) if kfs else np.zeros((0, 0), bool),
+        )
+
+    def load_checkpoint(self, path_prefix: str):
+        """Restore a `save_checkpoint` snapshot into this system."""
+        from parakeet_slam_tpu.utils import checkpoint as ckpt
+
+        tree, step = ckpt.load_checkpoint(
+            path_prefix + ".state.npz",
+            {"state": self.state, "graph": self.graph, "key": self.key},
+        )
+        self.state, self.graph, self.key = tree["state"], tree["graph"], tree["key"]
+        data = np.load(path_prefix + ".kf.npz")
+        self.frame_idx = int(data["frame_idx"])
+        lkp = data["last_kf_pose"]
+        self.last_kf_pose = None if np.isnan(lkp).any() else lkp
+        self.loop_closures = [tuple(r) for r in data["loop_closures"]]
+        self.keyframes = [
+            Keyframe(
+                index=i, pose=data["pose"][i], points_kf=data["points"][i],
+                desc=data["desc"][i], valid=data["valid"][i],
+            )
+            for i in range(int(data["n"]))
+        ]
 
     # -- offline refinement ----------------------------------------------
 
