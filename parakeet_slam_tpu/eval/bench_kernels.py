@@ -184,12 +184,55 @@ def bench_schur(N=262144):
     return dt, bytes_moved, flops
 
 
+def bench_ba(C=64, Pts=50000, obs_per_cam=2000, iters=4, pcg_iters=25):
+    """Full Schur/PCG BA iterations/s at EuRoC-config scale (SURVEY.md §7
+    'BA iterations/s'): C cameras, 50k landmarks, C*obs_per_cam residuals."""
+    from parakeet_slam_tpu.backend import ba as ba_mod
+    from parakeet_slam_tpu.backend.graph import make_ba_problem
+    from parakeet_slam_tpu.core import geometry
+    from parakeet_slam_tpu.frontend.camera import Pinhole
+
+    cam = Pinhole(458.0, 457.0, 367.0, 248.0, 752, 480)
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(
+        key, (Pts, 3), minval=-10.0, maxval=10.0
+    ) + jnp.array([0.0, 0.0, 15.0])
+    poses = jnp.tile(jnp.zeros((7,)).at[6].set(1.0), (C, 1))
+    poses = poses.at[:, 0].set(jnp.linspace(0, 5, C))
+    O = C * obs_per_cam
+    obs_cam = jnp.repeat(jnp.arange(C, dtype=jnp.int32), obs_per_cam)
+    obs_pt = jax.random.randint(
+        jax.random.fold_in(key, 1), (O,), 0, Pts, dtype=jnp.int32
+    )
+    uv = jax.vmap(
+        lambda c, p: cam.project(
+            geometry.se3_apply_inverse(poses[c], pts[p])
+        )
+    )(obs_cam, obs_pt)
+    uv = uv + 0.5 * jax.random.normal(jax.random.fold_in(key, 2), uv.shape)
+    prob = make_ba_problem(poses, pts, obs_cam, obs_pt, uv)
+
+    def call():
+        return ba_mod.optimize_ba(
+            cam, prob, iters=iters, pcg_iters=pcg_iters, huber_delta=50.0
+        ).problem.cam_pose
+
+    dt = _time_call(call, reps=3)
+    # per LM iteration: linearize (O x jacfwd ~ 500 flops) + pcg_iters
+    # matvecs (O x ~120 flops each)
+    flops = iters * O * (500 + pcg_iters * 120)
+    bytes_moved = iters * (1 + pcg_iters) * O * (2 + 12 + 6) * 4
+    # report iterations/s through the standard row shape; ms is per call
+    return dt / iters, bytes_moved / iters, flops / iters
+
+
 BENCHES = {
     "ekf_update": bench_ekf,
     "ekf_update_3d": bench_ekf3d,
     "resample": bench_resample,
     "match": bench_match,
     "schur": bench_schur,
+    "ba_iteration": bench_ba,
 }
 
 

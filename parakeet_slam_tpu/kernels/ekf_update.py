@@ -373,13 +373,13 @@ def measurement_update_2d(
     chunk = min(Lp, 2048)
     budget = 12 * 1024 * 1024
     per_particle = (2 * 2 * n_planes * Lp + 2 * Lp) * 4  # in+out x2buf + scratch
-    Pt = max(8, budget // per_particle)
-    Pt = min(P, (Pt // 8) * 8)
-    Pt = max(Pt, 8)
-    while P % Pt:
-        Pt -= 8
-    if Pt <= 0 or P % max(Pt, 1):
-        Pt = P
+    # Largest divisor of P within the VMEM budget (prefer multiples of 8 for
+    # sublane alignment; small shards — e.g. 2 particles inside shard_map —
+    # fall back to Pt = P).
+    Pt = min(P, max(8, (budget // per_particle) // 8 * 8))
+    while Pt > 1 and P % Pt:
+        Pt -= 1
+    Pt = max(Pt, 1)
     grid = (P // Pt,)
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
