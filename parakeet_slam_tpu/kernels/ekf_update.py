@@ -370,7 +370,11 @@ def measurement_update_2d(
     # Particle-axis tiling: in+out plane blocks are double-buffered by the
     # pipeline, plus the ll/matched scratch planes — keep it under ~12 MB.
     n_planes = 7 + sig_dim
-    chunk = min(Lp, 2048)
+    # chunk MUST divide Lp (NC = Lp // chunk; a remainder leaves lanes
+    # unscored and stale ll scratch wins the association argmax).
+    chunk = next(
+        c for c in (2048, 1024, 512, 384, 256, 128) if Lp % c == 0
+    ) if Lp > 2048 else Lp
     budget = 12 * 1024 * 1024
     per_particle = (2 * 2 * n_planes * Lp + 2 * Lp) * 4  # in+out x2buf + scratch
     # Largest divisor of P within the VMEM budget (prefer multiples of 8 for

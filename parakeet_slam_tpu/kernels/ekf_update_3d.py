@@ -561,7 +561,12 @@ def measurement_update_3d(
     )
 
     n_planes = 11 + W
-    chunk = min(Lp, 1024)
+    # chunk MUST divide Lp: NC = Lp // chunk tiles the landmark axis, and a
+    # remainder would leave lanes unscored (stale ll scratch wins argmax).
+    # Lp is a multiple of 128, so 128 always qualifies.
+    chunk = next(
+        c for c in (1024, 512, 384, 256, 128) if Lp % c == 0
+    ) if Lp > 1024 else Lp
     budget = 12 * 1024 * 1024
     per_particle = (2 * 2 * n_planes * Lp + 2 * Lp) * 4
     # Largest divisor of P within the VMEM budget (prefer multiples of 8 for

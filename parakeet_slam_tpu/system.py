@@ -56,7 +56,6 @@ class Keyframe:
 @dataclass
 class SLAMSystem:
     cfg: SLAMConfig
-    _ = None
 
     def __post_init__(self):
         fe = self.cfg.frontend

@@ -170,6 +170,39 @@ class TestKernel3DParity:
                 err_msg=f"{model} frame {f} descriptors",
             )
 
+    def test_odd_capacity_chunking(self):
+        """Lp=1152 (not a multiple of the 1024 chunk) must still score every
+        landmark lane — regression for NC = Lp // chunk truncation leaving
+        stale scratch to win the association argmax."""
+        import dataclasses
+
+        fc, fe = _cfgs("pinhole_3d", 2)
+        fc = dataclasses.replace(fc, max_landmarks=1100)
+        slam = FastSLAM(fc, fe)
+        st_x = slam.init_state()
+        st_p = slam.init_state()
+        # Pre-fill slots near the END of the table so association must look
+        # past lane 1024.
+        key = jax.random.PRNGKey(9)
+        pose = _scatter_poses(key, fc.num_particles)
+        st_x = st_x.replace(pose=pose)
+        st_p = st_p.replace(pose=pose)
+        obs1 = _rand_obs(jax.random.PRNGKey(10), "pinhole_3d", 2, 4, 4,
+                         fc.desc_words)
+        hi = jnp.arange(1100) >= 1096  # occupy slots 1096..1099
+        mk = lambda st: st.replace(
+            lm_valid=jnp.broadcast_to(hi, st.lm_valid.shape),
+            lm_mean=st.lm_mean + 5.0,
+            lm_cov=jnp.broadcast_to(0.5 * jnp.eye(3), st.lm_cov.shape) + 0.0,
+        )
+        st_x, st_p = mk(st_x), mk(st_p)
+        st_x, _ = slam.measurement_core(st_x, obs1)
+        (lw, lm, lc_, ld, lv, lcnt, nm) = _kernel_call(slam, st_p, obs1)
+        np.testing.assert_array_equal(np.asarray(lv), np.asarray(st_x.lm_valid))
+        np.testing.assert_allclose(
+            np.asarray(lw), np.asarray(st_x.log_w), rtol=1e-3, atol=1e-2
+        )
+
     def test_filter_route_uses_kernel(self):
         """use_pallas=True on a 3-D model routes through the fused kernel
         and produces a valid step (smoke, interpret mode)."""
