@@ -313,11 +313,17 @@ class FastSLAM:
             return (st, matched, n_match + did.astype(jnp.float32)), None
 
         matched0 = jnp.zeros((P, L), bool)
-        (state, matched, n_match), _ = jax.lax.scan(
-            scan_body,
-            (state, matched0, jnp.zeros((P,), jnp.float32)),
-            (obs.z, obs.sig, obs.desc, obs.valid),
-        )
+        # fp32 discipline: the EKF small-matrix matmuls (H Σ Hᵀ, K ν, (I−KH)Σ)
+        # are batched dot_generals that TPU lowers to bf16-input MXU passes at
+        # default precision — enough error (~1% on covariances) to break
+        # parity with the elementwise-exact Pallas kernel. These ops are tiny
+        # relative to the frame, so force full fp32 like backend/ba.py does.
+        with jax.default_matmul_precision("highest"):
+            (state, matched, n_match), _ = jax.lax.scan(
+                scan_body,
+                (state, matched0, jnp.zeros((P,), jnp.float32)),
+                (obs.z, obs.sig, obs.desc, obs.valid),
+            )
 
         # --- map management: decrement in-FOV-but-unmatched, cull ---------
         if c.cull_enabled:
