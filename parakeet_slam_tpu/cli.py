@@ -42,13 +42,13 @@ def cmd_run(args):
     if cfg.data.dataset == "corridor":
         from parakeet_slam_tpu.data import make_corridor
         from parakeet_slam_tpu.eval import ate_rmse
-        from parakeet_slam_tpu.filter import FastSLAM, run_sequence
+        from parakeet_slam_tpu.filter import make_filter, run_sequence
 
         sim = make_corridor(
             num_landmarks=cfg.data.num_landmarks, num_steps=cfg.data.num_steps,
             max_obs=cfg.filter.max_observations, seed=cfg.data.seed,
         )
-        slam = FastSLAM(cfg.filter)
+        slam = make_filter(cfg.filter)
         state = slam.init_state(init_pose=jnp.asarray(sim.gt_pose[0]))
         _, est, metrics = run_sequence(
             slam, state, jnp.asarray(sim.odom), jnp.asarray(sim.obs_z),

@@ -32,6 +32,9 @@ class FilterConfig:
 
     motion_model: str = "odometry_2d"        # filter/models.py registry key
     measurement_model: str = "range_bearing_2d"
+    # fastslam1 (motion-model proposal) | fastslam2 (optimal proposal,
+    # filter/fastslam2.py — better accuracy per particle).
+    algorithm: str = "fastslam1"
 
     # Motion noise alphas (odometry model, Probabilistic Robotics table 5.6).
     motion_noise: tuple[float, ...] = (0.05, 0.05, 0.05, 0.05)

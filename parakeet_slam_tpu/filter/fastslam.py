@@ -109,9 +109,16 @@ class FastSLAM:
             ll = ll - c.desc_weight * ham
         return ll
 
-    def _process_observation(self, state: ParticleState, matched, obs_row):
+    def _process_observation(
+        self, state: ParticleState, matched, obs_row, weight_matched: bool = True
+    ):
         """One observation against every particle's map. Returns updated
-        (state, matched-mask [P, L], did_match [P])."""
+        (state, matched-mask [P, L], did_match [P]).
+
+        `weight_matched=False` suppresses ALL importance-weight updates
+        (matched likelihood and new-landmark log p0): FastSLAM 2.0 accounts
+        for every observation in its proposal stage instead
+        (filter/fastslam2.py), and this pass only updates the maps."""
         c = self.cfg
         z, sig, desc, valid = obs_row
         P, L = state.lm_valid.shape
@@ -199,11 +206,14 @@ class FastSLAM:
             )
 
         # --- importance weights ------------------------------------------
-        log_w = state.log_w + jnp.where(
-            valid,
-            jnp.where(is_new, c.new_landmark_loglik, best_ll),
-            0.0,
-        )
+        if weight_matched:
+            log_w = state.log_w + jnp.where(
+                valid,
+                jnp.where(is_new, c.new_landmark_loglik, best_ll),
+                0.0,
+            )
+        else:
+            log_w = state.log_w
         state = state.replace(log_w=log_w)
 
         matched = matched | onehot_best | onehot_free
@@ -289,7 +299,7 @@ class FastSLAM:
         return self._resample_and_metrics(state, obs, mean_match, key)
 
     def measurement_core(
-        self, state: ParticleState, obs: Observation
+        self, state: ParticleState, obs: Observation, weight_matched: bool = True
     ) -> tuple[ParticleState, jax.Array]:
         """Association + EKF updates + map management WITHOUT resampling —
         purely per-particle, so it runs unchanged inside `shard_map` with
@@ -298,18 +308,21 @@ class FastSLAM:
         c = self.cfg
         P, L = state.lm_valid.shape
 
-        if c.use_pallas and self.model.name == "range_bearing_2d":
-            return self._measurement_update_pallas(state, obs)
-        if (
-            c.use_pallas
-            and c.sig_dim == 0
-            and self.model.name in ("pinhole_3d", "stereo_3d", "equirect_3d")
-        ):
-            return self._measurement_update_pallas_3d(state, obs)
+        if weight_matched:  # Pallas kernels bake in the FastSLAM-1 weights
+            if c.use_pallas and self.model.name == "range_bearing_2d":
+                return self._measurement_update_pallas(state, obs)
+            if (
+                c.use_pallas
+                and c.sig_dim == 0
+                and self.model.name in ("pinhole_3d", "stereo_3d", "equirect_3d")
+            ):
+                return self._measurement_update_pallas_3d(state, obs)
 
         def scan_body(carry, obs_row):
             st, matched, n_match = carry
-            st, matched, did = self._process_observation(st, matched, obs_row)
+            st, matched, did = self._process_observation(
+                st, matched, obs_row, weight_matched
+            )
             return (st, matched, n_match + did.astype(jnp.float32)), None
 
         matched0 = jnp.zeros((P, L), bool)

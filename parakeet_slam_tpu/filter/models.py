@@ -103,6 +103,89 @@ def get_motion_model(name: str) -> Callable:
 
 
 # ---------------------------------------------------------------------------
+# Gaussian motion models (mean + tangent covariance) for the FastSLAM 2.0
+# optimal proposal (Thrun et al. ch. 13.4; SURVEY.md §3). Each returns the
+# deterministic motion mean and the noise covariance expressed in the pose's
+# tangent parameterization: additive [dx, dy, dθ] for SE(2), right-perturbation
+# se(3) twist for SE(3) (pose' = pose ∘ exp(δ)).
+# ---------------------------------------------------------------------------
+
+
+def se2_retract(pose, delta):
+    """Additive SE(2) tangent retraction: pose [..., 3] ⊞ δ [..., 3]."""
+    out = pose + delta
+    return out.at[..., 2].set(wrap_angle(out[..., 2]))
+
+
+def se3_retract(pose, delta):
+    """Right-perturbation SE(3) retraction: pose [..., 7] ∘ exp(δ [..., 6])."""
+    return geometry.se3_compose(pose, geometry.se3_exp(delta))
+
+
+def _odometry_2d_mean_cov(pose, u, alphas):
+    trans = jnp.linalg.norm(u[:2])
+    rot = jnp.abs(u[2])
+    a1, a2, a3, a4 = alphas
+    sig_trans = a1 * trans + a2 * rot + 1e-6
+    sig_rot = a3 * rot + a4 * trans + 1e-6
+    mean = geometry.se2_compose(pose, u)
+    # Noise is isotropic in the robot-frame xy increment, so the world-frame
+    # rotation R(θ) M R(θ)ᵀ leaves the xy block diagonal.
+    cov = jnp.diag(
+        jnp.stack([sig_trans**2, sig_trans**2, sig_rot**2]).astype(pose.dtype)
+    )
+    return mean, cov
+
+
+def _velocity_2d_mean_cov(pose, u, alphas):
+    v, w, dt = u[0], u[1], u[2]
+    a1, a2, a3, a4 = alphas
+    sig_v = jnp.sqrt(a1 * v * v + a2 * w * w) + 1e-6
+    sig_w = jnp.sqrt(a3 * v * v + a4 * w * w) + 1e-6
+
+    def f(vw):
+        twist = jnp.stack([vw[0] * dt, jnp.zeros((), pose.dtype), vw[1] * dt])
+        return geometry.se2_compose(pose, geometry.se2_exp(twist))
+
+    vw0 = jnp.stack([v, w])
+    mean = f(vw0)
+    J = jax.jacfwd(f)(vw0)  # [3, 2] — rank-2: regularize below
+    M = jnp.diag(jnp.stack([sig_v**2, sig_w**2]))
+    cov = J @ M @ J.T + 1e-8 * jnp.eye(3, dtype=pose.dtype)
+    return mean, cov
+
+
+def _se3_odometry_mean_cov(pose, u, sigmas):
+    s_t, s_r = sigmas[0], sigmas[1]
+    mean = geometry.se3_compose(pose, geometry.se3_exp(u))
+
+    def f(eps):
+        p = geometry.se3_compose(pose, geometry.se3_exp(u + eps))
+        return geometry.se3_log(geometry.se3_between(mean, p))
+
+    J = jax.jacfwd(f)(jnp.zeros((6,), pose.dtype))  # right Jacobian of exp at u
+    M = jnp.diag(
+        jnp.concatenate(
+            [jnp.full((3,), s_t**2, pose.dtype), jnp.full((3,), s_r**2, pose.dtype)]
+        )
+    )
+    return mean, J @ M @ J.T + 1e-10 * jnp.eye(6, dtype=pose.dtype)
+
+
+# name -> (mean_cov(pose, u, noise) -> (mean [pd], cov [dt, dt]),
+#          retract(pose, delta), tangent_dim)
+MOTION_MEAN_COV: dict[str, tuple[Callable, Callable, int]] = {
+    "odometry_2d": (_odometry_2d_mean_cov, se2_retract, 3),
+    "velocity_2d": (_velocity_2d_mean_cov, se2_retract, 3),
+    "se3_odometry": (_se3_odometry_mean_cov, se3_retract, 6),
+}
+
+
+def get_motion_mean_cov(name: str) -> tuple[Callable, Callable, int]:
+    return MOTION_MEAN_COV[name]
+
+
+# ---------------------------------------------------------------------------
 # Measurement models
 # ---------------------------------------------------------------------------
 

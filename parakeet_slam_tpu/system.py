@@ -36,7 +36,7 @@ from parakeet_slam_tpu.backend import posegraph as pg_mod
 from parakeet_slam_tpu.core import geometry
 from parakeet_slam_tpu.core.config import SLAMConfig
 from parakeet_slam_tpu.core.state import make_observation
-from parakeet_slam_tpu.filter import FastSLAM
+from parakeet_slam_tpu.filter import make_filter
 from parakeet_slam_tpu.frontend import camera as camera_mod
 from parakeet_slam_tpu.frontend.describe import describe
 from parakeet_slam_tpu.frontend.detect import detect
@@ -59,7 +59,7 @@ class SLAMSystem:
 
     def __post_init__(self):
         fe = self.cfg.frontend
-        self.slam = FastSLAM(self.cfg.filter, fe)
+        self.slam = make_filter(self.cfg.filter, fe)
         self.camera = camera_mod.from_config(fe)
         self.wrap_x = fe.camera == "equirect"
         self.keyframes: list[Keyframe] = []
