@@ -38,6 +38,7 @@ except ImportError:  # pragma: no cover
 from parakeet_slam_tpu.core.state import Observation, ParticleState
 from parakeet_slam_tpu.dist.mesh import PARTICLE_AXIS
 from parakeet_slam_tpu.filter.fastslam import FastSLAM, StepMetrics
+from parakeet_slam_tpu.filter.fastslam2 import FastSLAM2
 from parakeet_slam_tpu.kernels import resample as resample_kernel
 
 
@@ -105,8 +106,17 @@ class ShardedFastSLAM:
             k_motion, k_resample = jax.random.split(key)
             k_motion = jax.random.fold_in(k_motion, me)
 
-            state = slam_.motion_update(state, u, k_motion)
-            state, mean_match_local = slam_.measurement_core(state, obs)
+            if isinstance(slam_, FastSLAM2):
+                # FastSLAM 2.0: the optimal-proposal stage is per-particle
+                # (pose-Gaussian refinement + sampling), so it shards with
+                # zero extra communication; weights are fully applied there.
+                state = slam_._propose(state, u, obs, k_motion)
+                state, mean_match_local = slam_.measurement_core(
+                    state, obs, weight_matched=False
+                )
+            else:
+                state = slam_.motion_update(state, u, k_motion)
+                state, mean_match_local = slam_.measurement_core(state, obs)
 
             # --- global weights / ESS ---------------------------------
             lw_all = jax.lax.all_gather(

@@ -149,3 +149,36 @@ def test_fastslam2_se3_motion_model():
     np.testing.assert_allclose(
         np.asarray(retract(pose, jnp.zeros(6))), np.asarray(pose), atol=1e-6
     )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_fastslam2_sharded_trajectory():
+    """FastSLAM 2.0 under shard_map on the 8-device mesh: the proposal
+    stage is per-particle so it shards with zero extra communication;
+    trajectory accuracy must match the single-device class."""
+    from parakeet_slam_tpu.core.state import make_observation
+    from parakeet_slam_tpu.data import make_corridor
+    from parakeet_slam_tpu.dist.mesh import make_mesh
+    from parakeet_slam_tpu.dist.sharded_filter import ShardedFastSLAM
+    from parakeet_slam_tpu.eval import ate_rmse
+
+    sim = make_corridor(num_landmarks=40, num_steps=60, max_obs=8, seed=5)
+    cfg = _corridor_cfg(
+        algorithm="fastslam2", num_particles=16, max_landmarks=96,
+        max_observations=8,
+    )
+    sharded = ShardedFastSLAM(make_filter(cfg), make_mesh(n_devices=8))
+    state = sharded.init_state(init_pose=jnp.asarray(sim.gt_pose[0]))
+    key = jax.random.PRNGKey(0)
+    est = []
+    for t in range(60):
+        key, k = jax.random.split(key)
+        obs = make_observation(
+            jnp.asarray(sim.obs_z[t]), sig=jnp.asarray(sim.obs_sig[t]),
+            valid=jnp.asarray(sim.obs_valid[t]),
+        )
+        state, _ = sharded.step(state, jnp.asarray(sim.odom[t]), obs, k)
+        est.append(np.asarray(sharded.estimate_pose(state)))
+    ate = float(ate_rmse(jnp.asarray(est)[:, :2], sim.gt_pose[:60, :2]))
+    assert np.isfinite(ate)
+    assert ate < 1.5, ate
