@@ -219,10 +219,13 @@ class FastSLAM:
         matched = matched | onehot_best | onehot_free
         return state, matched, do_update | do_alloc
 
-    def _measurement_update_pallas(self, state: ParticleState, obs: Observation):
+    def _measurement_update_pallas(
+        self, state: ParticleState, obs: Observation, weight_matched: bool = True
+    ):
         """Route the whole frame through the fused Pallas kernel
         (`kernels/ekf_update`). Semantics-identical to the XLA path (parity
-        tested in tests/test_ekf_kernel.py)."""
+        tested in tests/test_ekf_kernel.py). `weight_matched=False` runs the
+        kernel with weight updates suppressed (FastSLAM 2.0 map pass)."""
         from parakeet_slam_tpu.kernels import ekf_update
 
         c = self.cfg
@@ -241,6 +244,7 @@ class FastSLAM:
                 fov_half=c.fov_half_angle,
                 cull=c.cull_enabled,
                 interpret=interpret,
+                update_weights=weight_matched,
             )
         )
         state = state.replace(
@@ -308,15 +312,15 @@ class FastSLAM:
         c = self.cfg
         P, L = state.lm_valid.shape
 
-        if weight_matched:  # Pallas kernels bake in the FastSLAM-1 weights
-            if c.use_pallas and self.model.name == "range_bearing_2d":
-                return self._measurement_update_pallas(state, obs)
-            if (
-                c.use_pallas
-                and c.sig_dim == 0
-                and self.model.name in ("pinhole_3d", "stereo_3d", "equirect_3d")
-            ):
-                return self._measurement_update_pallas_3d(state, obs)
+        if c.use_pallas and self.model.name == "range_bearing_2d":
+            return self._measurement_update_pallas(state, obs, weight_matched)
+        if (
+            weight_matched  # the 3-D kernel bakes in the FastSLAM-1 weights
+            and c.use_pallas
+            and c.sig_dim == 0
+            and self.model.name in ("pinhole_3d", "stereo_3d", "equirect_3d")
+        ):
+            return self._measurement_update_pallas_3d(state, obs)
 
         def scan_body(carry, obs_row):
             st, matched, n_match = carry

@@ -75,6 +75,7 @@ def _kernel(
     max_range: float,
     fov_half: float,
     cull: bool,
+    update_weights: bool,
 ):
     # Unpack variadic refs: sig planes (in), valid, count, outputs, scratch.
     sig_in = refs[:sig_dim]
@@ -265,8 +266,12 @@ def _kernel(
         lv_o[:, :] = jnp.where(alloc_m, 1.0, lv_o[:, :])
 
         # ---- weights / bookkeeping -------------------------------------
-        dw = jnp.where(is_new, log_p0, best_ll)
-        logw_o[:, :] = logw_o[:, :] + jnp.where(ovalid, dw, 0.0)
+        # update_weights=False: FastSLAM 2.0 map pass — every observation's
+        # weight was already applied in the proposal stage
+        # (filter/fastslam2.py), this kernel only mutates the maps.
+        if update_weights:
+            dw = jnp.where(is_new, log_p0, best_ll)
+            logw_o[:, :] = logw_o[:, :] + jnp.where(ovalid, dw, 0.0)
         touched = upd_m | alloc_m
         matched_s[:, :] = jnp.where(touched, 1.0, matched_s[:, :])
         nmatch_o[:, :] = nmatch_o[:, :] + jnp.max(
@@ -308,7 +313,7 @@ def _round_up(x, m):
     jax.jit,
     static_argnames=(
         "sig_dim", "r_var", "sig_var", "log_p0", "init_infl",
-        "max_range", "fov_half", "cull", "interpret",
+        "max_range", "fov_half", "cull", "interpret", "update_weights",
     ),
 )
 def measurement_update_2d(
@@ -324,6 +329,7 @@ def measurement_update_2d(
     fov_half: float,
     cull: bool,
     interpret: bool = False,
+    update_weights: bool = True,
 ):
     """Pallas-fused frame measurement update for the range-bearing model.
 
@@ -413,6 +419,7 @@ def measurement_update_2d(
         max_range=max_range,
         fov_half=fov_half,
         cull=cull,
+        update_weights=update_weights,
     )
 
     # Alias the big planes in-place: inputs [4=logw, 5..] -> outputs [0..].

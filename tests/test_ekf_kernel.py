@@ -149,3 +149,42 @@ class TestKernelParity:
             )
             outs[flag] = np.asarray(est)
         np.testing.assert_allclose(outs[False], outs[True], rtol=1e-4, atol=1e-4)
+
+
+class TestWeightSuppressedParity:
+    def test_fs2_map_pass_matches_xla(self):
+        """weight_matched=False (FastSLAM 2.0 map pass): Pallas and XLA
+        paths must produce identical maps and UNCHANGED log-weights."""
+        cfg_x = _cfg(use_pallas=False)
+        cfg_p = _cfg(use_pallas=True)
+        slam_x = FastSLAM(cfg_x)
+        slam_p = FastSLAM(cfg_p)
+        st_x = slam_x.init_state()
+        st_p = slam_p.init_state()
+        key = jax.random.PRNGKey(7)
+        # scatter poses + seed a map with one FS1 frame first
+        poses = jax.random.uniform(key, st_x.pose.shape, minval=-1.0, maxval=1.0)
+        st_x = st_x.replace(pose=poses)
+        st_p = st_p.replace(pose=poses)
+        obs0 = _rand_obs(jax.random.PRNGKey(8), n_valid=3, n_total=4, sig_dim=3)
+        st_x, _ = slam_x.measurement_core(st_x, obs0)
+        st_p, _ = slam_p.measurement_core(st_p, obs0)
+
+        obs = _rand_obs(jax.random.PRNGKey(9), n_valid=4, n_total=4, sig_dim=3)
+        lw_before_x = np.asarray(st_x.log_w)
+        lw_before_p = np.asarray(st_p.log_w)
+        new_x, nm_x = slam_x.measurement_core(st_x, obs, weight_matched=False)
+        new_p, nm_p = slam_p.measurement_core(st_p, obs, weight_matched=False)
+
+        np.testing.assert_array_equal(np.asarray(new_x.log_w), lw_before_x)
+        np.testing.assert_array_equal(np.asarray(new_p.log_w), lw_before_p)
+        np.testing.assert_array_equal(
+            np.asarray(new_x.lm_valid), np.asarray(new_p.lm_valid)
+        )
+        mask = np.asarray(new_x.lm_valid)[..., None]
+        np.testing.assert_allclose(
+            np.where(mask, np.asarray(new_x.lm_mean), 0),
+            np.where(mask, np.asarray(new_p.lm_mean), 0),
+            atol=5e-6,
+        )
+        np.testing.assert_allclose(float(nm_x), float(nm_p))
