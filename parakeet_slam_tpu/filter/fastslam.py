@@ -253,10 +253,13 @@ class FastSLAM:
         )
         return state, jnp.mean(n_match)
 
-    def _measurement_update_pallas_3d(self, state: ParticleState, obs: Observation):
+    def _measurement_update_pallas_3d(
+        self, state: ParticleState, obs: Observation, weight_matched: bool = True
+    ):
         """Route a frame through the fused 3-D vision-model Pallas kernel
         (`kernels/ekf_update_3d`). Parity with the XLA path is tested in
-        tests/test_ekf3d_kernel.py."""
+        tests/test_ekf3d_kernel.py. `weight_matched=False` suppresses the
+        in-kernel weight updates (FastSLAM 2.0 map pass)."""
         from parakeet_slam_tpu.kernels import ekf_update_3d
 
         c = self.cfg
@@ -287,6 +290,7 @@ class FastSLAM:
                 max_range=float(c.max_range),
                 cull=c.cull_enabled,
                 interpret=interpret,
+                update_weights=weight_matched,
             )
         )
         state = state.replace(
@@ -315,12 +319,11 @@ class FastSLAM:
         if c.use_pallas and self.model.name == "range_bearing_2d":
             return self._measurement_update_pallas(state, obs, weight_matched)
         if (
-            weight_matched  # the 3-D kernel bakes in the FastSLAM-1 weights
-            and c.use_pallas
+            c.use_pallas
             and c.sig_dim == 0
             and self.model.name in ("pinhole_3d", "stereo_3d", "equirect_3d")
         ):
-            return self._measurement_update_pallas_3d(state, obs)
+            return self._measurement_update_pallas_3d(state, obs, weight_matched)
 
         def scan_body(carry, obs_row):
             st, matched, n_match = carry

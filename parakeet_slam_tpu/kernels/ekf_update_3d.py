@@ -284,6 +284,7 @@ def _kernel(
     init_range_sigma: float,
     max_range: float,
     cull: bool,
+    update_weights: bool,
 ):
     W = desc_words
     mean_in = refs[0:3]
@@ -445,8 +446,11 @@ def _kernel(
         lv_o[:, :] = jnp.where(alloc_m, 1.0, lv_o[:, :])
 
         # ---- weights / bookkeeping --------------------------------------
-        dw = jnp.where(is_new, log_p0, best_ll)
-        logw_o[:, :] = logw_o[:, :] + jnp.where(ovalid, dw, 0.0)
+        # update_weights=False: FastSLAM 2.0 map pass (weights applied in
+        # the proposal stage, filter/fastslam2.py).
+        if update_weights:
+            dw = jnp.where(is_new, log_p0, best_ll)
+            logw_o[:, :] = logw_o[:, :] + jnp.where(ovalid, dw, 0.0)
         matched_s[:, :] = jnp.where(touched, 1.0, matched_s[:, :])
         nmatch_o[:, :] = nmatch_o[:, :] + jnp.max(
             jnp.where(touched, 1.0, 0.0), axis=1, keepdims=True
@@ -487,7 +491,7 @@ def _round_up(x, m):
     static_argnames=(
         "model", "desc_words", "par", "r_var", "desc_weight", "log_p0",
         "init_infl", "init_range_prior", "init_range_sigma", "max_range",
-        "cull", "interpret",
+        "cull", "interpret", "update_weights",
     ),
 )
 def measurement_update_3d(
@@ -506,6 +510,7 @@ def measurement_update_3d(
     max_range: float,
     cull: bool,
     interpret: bool = False,
+    update_weights: bool = True,
 ):
     """Pallas-fused frame measurement update for the 3-D camera models.
 
@@ -611,6 +616,7 @@ def measurement_update_3d(
         init_range_sigma=init_range_sigma,
         max_range=max_range,
         cull=cull,
+        update_weights=update_weights,
     )
 
     aliases = {4 + i: i for i in range(n_aliased)}

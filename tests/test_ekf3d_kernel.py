@@ -217,3 +217,40 @@ class TestKernel3DParity:
         st2, metrics = slam.step(st, jnp.zeros(6), obs, jax.random.PRNGKey(2))
         assert np.isfinite(np.asarray(st2.log_w)).all()
         assert int(np.asarray(st2.lm_valid).sum()) > 0
+
+
+class TestWeightSuppressed3D:
+    @pytest.mark.parametrize("model", ["pinhole_3d", "stereo_3d"])
+    def test_fs2_map_pass_matches_xla(self, model):
+        """weight_matched=False (FastSLAM 2.0 map pass) through the 3-D
+        kernel: maps match the XLA path, log-weights unchanged."""
+        Dz = MODELS[model]
+        fc, fe = _cfgs(model, Dz)
+        slam_x = FastSLAM(fc, fe)
+        slam_p = FastSLAM(fc.replace(use_pallas=True) if hasattr(fc, "replace")
+                          else FilterConfig(**{**fc.__dict__, "use_pallas": True}), fe)
+        key = jax.random.PRNGKey(11)
+        poses = _scatter_poses(key, fc.num_particles)
+        st_x = slam_x.init_state().replace(pose=poses)
+        st_p = slam_p.init_state().replace(pose=poses)
+        obs0 = _rand_obs(jax.random.PRNGKey(12), model, Dz, 3, 4, fc.desc_words)
+        st_x, _ = slam_x.measurement_core(st_x, obs0)
+        st_p, _ = slam_p.measurement_core(st_p, obs0)
+
+        obs = _reobserve(jax.random.PRNGKey(13), slam_x, st_x, 4, fc.desc_words)
+        lw_x = np.asarray(st_x.log_w)
+        lw_p = np.asarray(st_p.log_w)
+        new_x, _ = slam_x.measurement_core(st_x, obs, weight_matched=False)
+        new_p, _ = slam_p.measurement_core(st_p, obs, weight_matched=False)
+
+        np.testing.assert_array_equal(np.asarray(new_x.log_w), lw_x)
+        np.testing.assert_array_equal(np.asarray(new_p.log_w), lw_p)
+        np.testing.assert_array_equal(
+            np.asarray(new_x.lm_valid), np.asarray(new_p.lm_valid)
+        )
+        mask = np.asarray(new_x.lm_valid)[..., None]
+        np.testing.assert_allclose(
+            np.where(mask, np.asarray(new_x.lm_mean), 0),
+            np.where(mask, np.asarray(new_p.lm_mean), 0),
+            atol=1e-4,
+        )
