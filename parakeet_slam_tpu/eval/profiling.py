@@ -61,7 +61,15 @@ def timed(fn, *args, reps: int = 10, warmup: int = 2):
         return time.perf_counter() - t0
 
     t1 = min(chain(1) for _ in range(2))
-    tn = min(chain(reps + 1) for _ in range(2))
+    while True:
+        tn = min(chain(reps + 1) for _ in range(2))
+        # The slope must clear the tunnel/readback jitter or the estimate
+        # is garbage (observed: a ~60us kernel timing as 0.0ms at reps=10
+        # because tn-t1 drowned in ms-scale RTT noise). Grow the chain
+        # until the measured delta is unambiguous.
+        if tn - t1 > max(0.25 * t1, 2e-3) or reps >= 2048:
+            break
+        reps *= 4
     return max((tn - t1) / reps, 1e-9), out
 
 

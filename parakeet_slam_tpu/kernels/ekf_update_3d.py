@@ -574,14 +574,20 @@ def measurement_update_3d(
     ) if Lp > 1024 else Lp
     budget = 12 * 1024 * 1024
     per_particle = (2 * 2 * n_planes * Lp + 2 * Lp) * 4
-    # Largest divisor of P within the VMEM budget (prefer multiples of 8 for
-    # sublane alignment; small shards — e.g. 2 particles inside shard_map —
-    # fall back to Pt = P).
-    Pt = min(P, max(8, (budget // per_particle) // 8 * 8))
-    while Pt > 1 and P % Pt:
-        Pt -= 1
-    Pt = max(Pt, 1)
+    # Largest divisor of P within the VMEM budget. Mosaic requires the
+    # particle (sublane) block dim to be a multiple of 8 OR equal to P, so
+    # candidate tiles are exactly those; when even the smallest legal tile
+    # exceeds the default 16M scoped-vmem window (panoramic scale:
+    # [P=1024, Lp=8192, W=8] needs 16.5M at Pt=8) we raise the kernel's
+    # vmem limit to what the chosen tile actually needs instead of failing.
+    cands = [d for d in range(1, P + 1) if P % d == 0 and (d % 8 == 0 or d == P)]
+    fits = [d for d in cands if d * per_particle <= budget]
+    Pt = max(fits) if fits else min(cands)
     grid = (P // Pt,)
+    vmem_limit = min(
+        100 * 1024 * 1024,
+        max(16 * 1024 * 1024, int(Pt * per_particle * 1.25) + (2 << 20)),
+    )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     row = lambda w: pl.BlockSpec(
@@ -630,6 +636,7 @@ def measurement_update_3d(
         input_output_aliases=aliases,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(z_in, dz_in, vz, cam, logw2, *mean_planes, *cov_planes,
       *desc_planes, lv, lc)
 
