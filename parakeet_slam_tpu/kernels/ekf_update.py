@@ -85,7 +85,13 @@ def _kernel(
     sig_out = out[6 : 6 + sig_dim]
     lv_o, lc_o = out[6 + sig_dim], out[7 + sig_dim]
     nmatch_o = out[8 + sig_dim]
-    ll_s, matched_s = refs[sig_dim + 2 + 9 + sig_dim :]
+    tail = refs[sig_dim + 2 + 9 + sig_dim :]
+    ll_s, matched_s = tail[0], tail[1]
+    # Likelihood cache: range/bearing prediction + innovation covariance +
+    # logdet per landmark, filled once per frame and refreshed per-lane
+    # after updates/allocations — the per-observation sweep then costs
+    # residual + quadratic form instead of the full sqrt/atan2/H/Q chain.
+    r_s, th_s, q11_s, q12_s, q22_s, det_s, ld_s = tail[2:9]
 
     P, L = mx_o.shape
     NC = L // chunk
@@ -113,35 +119,58 @@ def _kernel(
     real_f = lane_f < num_landmarks
     BIG_LANE = jnp.int32(2**30)
 
+    def predict(mx, my, cxx, cxy, cyy):
+        """(r, bearing, Q entries, det) at a landmark state — the same
+        unrolled ops serve the chunked cache fill and the [P, 1] refresh,
+        so cached likelihoods stay bit-exact vs a fresh sweep."""
+        dx = mx - px
+        dy = my - py
+        q = dx * dx + dy * dy + 1e-12
+        r = jnp.sqrt(q)
+        h11 = dx / r
+        h12 = dy / r
+        h21 = -dy / q
+        h22 = dx / q
+        a11 = h11 * cxx + h12 * cxy
+        a12 = h11 * cxy + h12 * cyy
+        q11 = a11 * h11 + a12 * h12 + r11
+        q12 = a11 * h21 + a12 * h22
+        q22 = (h21 * cxx + h22 * cxy) * h21 + (h21 * cxy + h22 * cyy) * h22 + r22
+        det = jnp.maximum(q11 * q22 - q12 * q12, 1e-12)
+        return r, _atan2(dy, dx) - pth, q11, q12, q22, det
+
+    # ---- pass 0: fill the likelihood cache, chunked over landmarks ------
+    def cache_chunk(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        r, th, q11, q12, q22, det = predict(
+            mx_o[:, sl], my_o[:, sl],
+            cxx_o[:, sl], cxy_o[:, sl], cyy_o[:, sl],
+        )
+        r_s[:, sl] = r
+        th_s[:, sl] = th
+        q11_s[:, sl] = q11
+        q12_s[:, sl] = q12
+        q22_s[:, sl] = q22
+        det_s[:, sl] = det
+        ld_s[:, sl] = jnp.log(det)
+        return 0
+
+    jax.lax.fori_loop(0, NC, cache_chunk, 0)
+
     def obs_body(i, _):
         zr = z_ref[i, 0]
         zphi = z_ref[i, 1]
         ovalid = vz_ref[i] > 0
 
-        # ---- pass A: likelihoods, chunked over the landmark axis -------
+        # ---- pass A: likelihoods over the cache, chunked ----------------
         def ll_chunk(c, _):
             sl = pl.ds(c * chunk, chunk)
-            mx = mx_o[:, sl]
-            my = my_o[:, sl]
-            dx = mx - px
-            dy = my - py
-            q = dx * dx + dy * dy + 1e-12
-            r = jnp.sqrt(q)
-            h11 = dx / r
-            h12 = dy / r
-            h21 = -dy / q
-            h22 = dx / q
-            cxx = cxx_o[:, sl]
-            cxy = cxy_o[:, sl]
-            cyy = cyy_o[:, sl]
-            a11 = h11 * cxx + h12 * cxy
-            a12 = h11 * cxy + h12 * cyy
-            q11 = a11 * h11 + a12 * h12 + r11
-            q12 = a11 * h21 + a12 * h22
-            q22 = (h21 * cxx + h22 * cxy) * h21 + (h21 * cxy + h22 * cyy) * h22 + r22
-            det = jnp.maximum(q11 * q22 - q12 * q12, 1e-12)
-            nu1 = zr - r
-            nu2 = _wrap(zphi - (_atan2(dy, dx) - pth))
+            q11 = q11_s[:, sl]
+            q12 = q12_s[:, sl]
+            q22 = q22_s[:, sl]
+            det = det_s[:, sl]
+            nu1 = zr - r_s[:, sl]
+            nu2 = _wrap(zphi - th_s[:, sl])
             # clamp: indefinite Q (fp-drifted cov) must lose the argmax,
             # not win it with a sign-flipped "negative distance"
             maha = jnp.maximum(
@@ -149,7 +178,7 @@ def _kernel(
                 / det,
                 0.0,
             )
-            ll = -0.5 * (maha + jnp.log(det) + 2.0 * _LOG_2PI)
+            ll = -0.5 * (maha + ld_s[:, sl] + 2.0 * _LOG_2PI)
             for s in range(sig_dim):
                 ds_ = sig_out[s][:, sl] - sig_ref[i, s]
                 ll = ll - 0.5 * ds_ * ds_ / sig_var
@@ -264,6 +293,26 @@ def _kernel(
                     upd_m, sig_u, jnp.where(alloc_m, sig_ref[i, s], sig_out[s][:, :])
                 )
         lv_o[:, :] = jnp.where(alloc_m, 1.0, lv_o[:, :])
+        touched = upd_m | alloc_m
+
+        # ---- refresh the likelihood cache at the touched lane -----------
+        # Recompute the prediction at the NEW landmark state in [P, 1]
+        # space so later observations score this lane bit-identically to
+        # a fresh sweep.
+        r2_, th2, q11_2, q12_2, q22_2, det2 = predict(
+            jnp.where(do_upd, mx_u, nx),
+            jnp.where(do_upd, my_u, ny),
+            jnp.where(do_upd, cxx_u, n_cxx),
+            jnp.where(do_upd, cxy_u, n_cxy),
+            jnp.where(do_upd, cyy_u, n_cyy),
+        )
+        r_s[:, :] = jnp.where(touched, r2_, r_s[:, :])
+        th_s[:, :] = jnp.where(touched, th2, th_s[:, :])
+        q11_s[:, :] = jnp.where(touched, q11_2, q11_s[:, :])
+        q12_s[:, :] = jnp.where(touched, q12_2, q12_s[:, :])
+        q22_s[:, :] = jnp.where(touched, q22_2, q22_s[:, :])
+        det_s[:, :] = jnp.where(touched, det2, det_s[:, :])
+        ld_s[:, :] = jnp.where(touched, jnp.log(det2), ld_s[:, :])
 
         # ---- weights / bookkeeping -------------------------------------
         # update_weights=False: FastSLAM 2.0 map pass — every observation's
@@ -272,7 +321,6 @@ def _kernel(
         if update_weights:
             dw = jnp.where(is_new, log_p0, best_ll)
             logw_o[:, :] = logw_o[:, :] + jnp.where(ovalid, dw, 0.0)
-        touched = upd_m | alloc_m
         matched_s[:, :] = jnp.where(touched, 1.0, matched_s[:, :])
         nmatch_o[:, :] = nmatch_o[:, :] + jnp.max(
             jnp.where(touched, 1.0, 0.0), axis=1, keepdims=True
@@ -285,10 +333,10 @@ def _kernel(
     if cull:
         def cull_chunk(c, _):
             sl = pl.ds(c * chunk, chunk)
-            dx = mx_o[:, sl] - px
-            dy = my_o[:, sl] - py
-            r = jnp.sqrt(dx * dx + dy * dy + 1e-12)
-            phi = _wrap(_atan2(dy, dx) - pth)
+            # cached range/bearing are refreshed on every mutation, so they
+            # equal a fresh recompute at the current means bit-for-bit
+            r = r_s[:, sl]
+            phi = _wrap(th_s[:, sl])
             in_fov = (r < max_range) & (jnp.abs(phi) < fov_half)
             lv = lv_o[:, sl]
             dec = (
@@ -382,7 +430,8 @@ def measurement_update_2d(
         c for c in (2048, 1024, 512, 384, 256, 128) if Lp % c == 0
     ) if Lp > 2048 else Lp
     budget = 12 * 1024 * 1024
-    per_particle = (2 * 2 * n_planes * Lp + 2 * Lp) * 4  # in+out x2buf + scratch
+    # in+out x2buf + ll/matched scratch + 7-plane likelihood cache
+    per_particle = (2 * 2 * n_planes * Lp + (2 + 7) * Lp) * 4
     # Largest divisor of P within the VMEM budget. Mosaic requires the
     # particle (sublane) block dim to be a multiple of 8 OR equal to P; when
     # even the smallest legal tile exceeds the default 16M scoped-vmem
@@ -409,6 +458,9 @@ def measurement_update_2d(
     scratch = [
         pltpu.VMEM((Pt, Lp), jnp.float32),  # ll
         pltpu.VMEM((Pt, Lp), jnp.float32),  # matched
+    ] + [
+        pltpu.VMEM((Pt, Lp), jnp.float32)   # r/th/Q/det/logdet cache
+        for _ in range(7)
     ]
 
     kernel = functools.partial(

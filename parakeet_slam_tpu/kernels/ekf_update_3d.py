@@ -263,6 +263,32 @@ _COV_IDX = {  # (i, j) -> flat upper-tri index
     (2, 0): 2, (2, 1): 4, (2, 2): 5,
 }
 
+_UT2 = {(0, 0): 0, (0, 1): 1, (1, 0): 1, (1, 1): 2}
+
+
+def _ut_idx(Dz):
+    return _UT2 if Dz == 2 else _COV_IDX
+
+
+def n_cache_planes(Dz: int) -> int:
+    """zhat (Dz) + Qinv upper-tri + logdet — the per-landmark likelihood
+    cache carried across the frame's observation loop."""
+    return Dz + (Dz * (Dz + 1)) // 2 + 1
+
+
+def _predict_qi(model, m, S, R, t, par, r_var, Dz):
+    """(zhat, Qinv, logdet) at landmark state (m, S) — the quantities the
+    likelihood sweep needs, computed identically in [Pt, chunk] cache-fill
+    space and [Pt, 1] refresh space so cached scores stay bit-exact."""
+    p = _cam_point(R, t, m)
+    zhat, H = _model_hH(model, p, R, par)
+    HS = _matmul(H, S)
+    Q = _matmul(HS, _transpose(H))
+    for k in range(Dz):
+        Q[k][k] = Q[k][k] + r_var[k]
+    Qi, det = _sym_inv_det(Q)
+    return zhat, Qi, jnp.log(det)
+
 
 def _kernel(
     z_ref, dz_ref, vz_ref,       # SMEM: [Z, Dz] f32, [Z, W] i32, [Z] i32
@@ -299,6 +325,16 @@ def _kernel(
     lv_o, lc_o = out[10 + W], out[11 + W]
     nmatch_o = out[12 + W]
     ll_s, matched_s = out[13 + W], out[14 + W]  # VMEM scratch refs
+    # Likelihood cache: zhat/Qinv/logdet per landmark, filled once per
+    # frame and refreshed per-lane after EKF updates/allocations — the
+    # per-observation sweep then costs residual+quadratic-form+hamming
+    # instead of the full H/Q/inverse chain (~4x fewer VPU flops).
+    NQ = (Dz * (Dz + 1)) // 2
+    cache = out[15 + W :]
+    zh_s = cache[:Dz]
+    qi_s = cache[Dz : Dz + NQ]
+    ld_s = cache[Dz + NQ]
+    UT = _ut_idx(Dz)
 
     P, L = mean_o[0].shape
     NC = L // chunk
@@ -326,25 +362,34 @@ def _kernel(
     real_f = lane_f < num_landmarks
     BIG_LANE = jnp.int32(2**30)
 
+    # ---- pass 0: fill the likelihood cache, chunked over landmarks -------
+    def cache_chunk(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        m = [mean_o[k][:, sl] for k in range(3)]
+        S = [[cov_o[_COV_IDX[(a, b)]][:, sl] for b in range(3)]
+             for a in range(3)]
+        zhat, Qi, ld = _predict_qi(model, m, S, R, t, par, r_var, Dz)
+        for k in range(Dz):
+            zh_s[k][:, sl] = zhat[k]
+        for a in range(Dz):
+            for b in range(a, Dz):
+                qi_s[UT[(a, b)]][:, sl] = Qi[a][b]
+        ld_s[:, sl] = ld
+        return 0
+
+    jax.lax.fori_loop(0, NC, cache_chunk, 0)
+
     def obs_body(i, _):
         zobs = [z_ref[i, k] for k in range(Dz)]
         ovalid = vz_ref[i] > 0
 
-        # ---- pass A: likelihood sweep, chunked over landmarks -----------
+        # ---- pass A: likelihood sweep over the cache ---------------------
         def ll_chunk(c, _):
             sl = pl.ds(c * chunk, chunk)
-            m = [mean_o[k][:, sl] for k in range(3)]
-            S = [[cov_o[_COV_IDX[(a, b)]][:, sl] for b in range(3)]
-                 for a in range(3)]
-            p = _cam_point(R, t, m)
-            zhat, H = _model_hH(model, p, R, par)
+            zhat = [zh_s[k][:, sl] for k in range(Dz)]
+            Qi = [[qi_s[UT[(a, b)]][:, sl] for b in range(Dz)]
+                  for a in range(Dz)]
             nu = _model_residual(model, zobs, zhat, par)
-            # Q = H S Ht + diag(r_var)
-            HS = _matmul(H, S)
-            Q = _matmul(HS, _transpose(H))
-            for k in range(Dz):
-                Q[k][k] = Q[k][k] + r_var[k]
-            Qi, det = _sym_inv_det(Q)
             # clamp: indefinite Q (fp-drifted cov) must lose the argmax, not
             # win it with a sign-flipped "negative distance"
             maha = jnp.maximum(
@@ -354,7 +399,7 @@ def _kernel(
                 ),
                 0.0,
             )
-            ll = -0.5 * (maha + jnp.log(det) + Dz * _LOG_2PI)
+            ll = -0.5 * (maha + ld_s[:, sl] + Dz * _LOG_2PI)
             if W > 0:
                 ham = jnp.zeros_like(ll)
                 for w in range(W):
@@ -445,6 +490,24 @@ def _kernel(
         )
         lv_o[:, :] = jnp.where(alloc_m, 1.0, lv_o[:, :])
 
+        # ---- refresh the likelihood cache at the touched lane ------------
+        # Recompute zhat/Qinv/logdet at the NEW landmark state in [P, 1]
+        # space (same unrolled ops as the chunked fill, so later
+        # observations score this lane bit-identically to a fresh sweep).
+        m_sel = [jnp.where(do_upd, m_u[k], m_n[k]) for k in range(3)]
+        c_sel = [jnp.where(do_upd, c_u6[k], c_n6[k]) for k in range(6)]
+        S_sel = [[c_sel[_COV_IDX[(a, b)]] for b in range(3)] for a in range(3)]
+        zhat2, Qi2, ld2 = _predict_qi(
+            model, m_sel, S_sel, R, t, par, r_var, Dz
+        )
+        for k in range(Dz):
+            zh_s[k][:, :] = jnp.where(touched, zhat2[k], zh_s[k][:, :])
+        for a in range(Dz):
+            for b in range(a, Dz):
+                ix = UT[(a, b)]
+                qi_s[ix][:, :] = jnp.where(touched, Qi2[a][b], qi_s[ix][:, :])
+        ld_s[:, :] = jnp.where(touched, ld2, ld_s[:, :])
+
         # ---- weights / bookkeeping --------------------------------------
         # update_weights=False: FastSLAM 2.0 map pass (weights applied in
         # the proposal stage, filter/fastslam2.py).
@@ -465,7 +528,7 @@ def _kernel(
             sl = pl.ds(c * chunk, chunk)
             m = [mean_o[k][:, sl] for k in range(3)]
             p = _cam_point(R, t, m)
-            zhat, _ = _model_hH(model, p, R, par)
+            zhat = [zh_s[k][:, sl] for k in range(Dz)]
             in_fov = _model_in_fov(model, p, zhat, par, max_range)
             lv = lv_o[:, sl]
             dec = (
@@ -572,8 +635,9 @@ def measurement_update_3d(
     chunk = next(
         c for c in (1024, 512, 384, 256, 128) if Lp % c == 0
     ) if Lp > 1024 else Lp
+    n_cache = n_cache_planes(Dz)
     budget = 12 * 1024 * 1024
-    per_particle = (2 * 2 * n_planes * Lp + 2 * Lp) * 4
+    per_particle = (2 * 2 * n_planes * Lp + (2 + n_cache) * Lp) * 4
     # Largest divisor of P within the VMEM budget. Mosaic requires the
     # particle (sublane) block dim to be a multiple of 8 OR equal to P, so
     # candidate tiles are exactly those; when even the smallest legal tile
@@ -603,6 +667,9 @@ def measurement_update_3d(
     scratch = [
         pltpu.VMEM((Pt, Lp), jnp.float32),  # ll
         pltpu.VMEM((Pt, Lp), jnp.float32),  # matched
+    ] + [
+        pltpu.VMEM((Pt, Lp), jnp.float32)   # zhat/Qinv/logdet cache
+        for _ in range(n_cache)
     ]
 
     kernel = functools.partial(
