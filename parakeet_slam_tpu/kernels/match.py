@@ -1,20 +1,25 @@
 """Tiled brute-force descriptor matching (Hamming + L2), Pallas + XLA twin.
 
 BASELINE.json:5: "brute-force descriptor matching is a tiled Hamming/L2
-distance kernel". Layout:
+distance kernel". TPU-first design: both metrics are driven through the
+MXU as one fused distance+top-2 kernel.
 
-- Binary descriptors are [*, W] packed uint32 (W=8 for BRIEF-256).
-- Hamming kernel: grid (N/TN, M/TM) with the M axis iterated sequentially
-  per query tile; the query tile stays VMEM-resident while database tiles
-  stream through (the blockwise-streaming trick SURVEY.md §2b maps to
-  ring matching across hosts). Distances for one tile are computed as a
-  static loop over the W words — 2-D [TN, TM] XOR+popcount VPU ops — and
-  the per-query running (best, second-best, argbest) is folded across
-  database tiles IN-KERNEL, so the [N, M] distance matrix never
-  materializes in HBM. That is the speed-of-light-relevant property at
-  M ~ 100k landmarks.
-- L2 kernel for float descriptors uses the ‖a‖²+‖b‖²-2ab MXU form.
-- `match()` adds the Lowe ratio test + optional mutual-consistency check.
+- Hamming rides the MXU via the bit-dot identity
+      popcount(a ^ b) = popcount(a) + popcount(b) - 2 * <bits(a), bits(b)>
+  Descriptors are unpacked once to 0/1 bf16 bit-planes ([*, 256] for
+  BRIEF-256); the cross term is a [TQ, 256] @ [256, TM] matmul with fp32
+  accumulation — EXACT for 256-bit descriptors (integers <= 256), so the
+  returned distances are bit-identical to the XOR+popcount reference while
+  running at matmul speed instead of ~100 VPU ops per pair. (The previous
+  revision's [TN,1]x[1,TM] broadcast-XOR form measured 0.5% of HBM SOL;
+  this form is MXU-bound.)
+- L2 uses the same kernel on raw float features: ||a-b||^2 =
+  ||a||^2 + ||b||^2 - 2 a.b. (SURVEY.md §2c `kernels/match` names both.)
+- The per-query running (best, second-best, argbest) folds across database
+  tiles IN-KERNEL, so the [N, M] distance matrix never materializes in
+  HBM — the speed-of-light property at M ~ 100k landmarks. Database tiles
+  stream while the query tile stays VMEM-resident (the blockwise-streaming
+  trick SURVEY.md §2b maps to ring matching across hosts).
 
 XLA reference implementations (`*_xla`) define the semantics for parity
 tests (tests/test_match.py).
@@ -78,28 +83,48 @@ def l2_top2_xla(qd, db, db_valid):
 
 
 # ---------------------------------------------------------------------------
-# Pallas Hamming kernel
+# Bit unpacking (packed uint32 words -> 0/1 bf16 bit-planes)
 # ---------------------------------------------------------------------------
 
 
-def _hamming_kernel(q_ref, dt_ref, valid_ref, bi_ref, b1_ref, b2_ref, *, words, tm):
+def unpack_bits(words: jax.Array) -> jax.Array:
+    """[N, W] uint32 -> [N, W*32] bf16 in {0, 1}.
+
+    Column order is (word-major, bit-minor); any fixed order works since
+    both operands of the bit-dot use the same unpacking.
+    """
+    n, w = words.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(n, w * 32).astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# Fused MXU distance + top-2 kernel (shared by Hamming and L2)
+# ---------------------------------------------------------------------------
+
+
+def _dist_top2_kernel(
+    q_ref, dbt_ref, qn_ref, dn_ref, valid_ref, bi_ref, b1_ref, b2_ref, *, tm
+):
+    """One (query-tile, db-tile) step: dist = qn + dn - 2 q @ db^T, fold
+    the per-query running (best, second, argbest) across db tiles."""
     j = pl.program_id(1)
     TN = q_ref.shape[0]
 
-    acc = jnp.zeros((TN, tm), jnp.int32)
-    for w in range(words):
-        x = q_ref[:, w : w + 1]          # [TN, 1] uint32
-        y = dt_ref[w : w + 1, :]         # [1, TM] uint32
-        acc = acc + jax.lax.population_count(
-            jnp.bitwise_xor(x, y)
-        ).astype(jnp.int32)
-    acc = jnp.where(valid_ref[0:1, :] > 0, acc, _BIG)
+    cross = jax.lax.dot_general(
+        q_ref[:, :], dbt_ref[:, :],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = qn_ref[:, :] + dn_ref[0:1, :] - 2.0 * cross
+    acc = jnp.where(valid_ref[0:1, :] > 0, acc, _BIG_F)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (TN, tm), 1)
     t1 = jnp.min(acc, axis=1, keepdims=True)                      # [TN, 1]
     is_min = acc == t1
     idx_local = jnp.min(jnp.where(is_min, lane, _BIG), axis=1, keepdims=True)
-    masked = jnp.where(lane == idx_local, _BIG, acc)
+    masked = jnp.where(lane == idx_local, _BIG_F, acc)
     t2 = jnp.min(masked, axis=1, keepdims=True)
     gidx = idx_local + j * tm
 
@@ -122,15 +147,12 @@ def _hamming_kernel(q_ref, dt_ref, valid_ref, bi_ref, b1_ref, b2_ref, *, words, 
         b2_ref[:, :] = new_b2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def hamming_top2(qd, db, db_valid, interpret: bool = False):
-    """Per-query (best_idx, best, second) over the database, fused in-kernel.
-
-    qd [N, W] uint32, db [M, W] uint32, db_valid [M] bool.
-    """
-    N, W = qd.shape
-    M = db.shape[0]
-    TM = 128
+def _dist_top2(q_feat, db_feat, qn, dn, db_valid, interpret):
+    """Shared fused driver: features [N, D]/[M, D] (any float dtype),
+    precomputed squared norms, validity. Returns fp32 (idx, best, second)."""
+    N, D = q_feat.shape
+    M = db_feat.shape[0]
+    TM = 512 if M >= 512 else _round_up(max(M, 128), 128)
     Mp = _round_up(max(M, TM), TM)
     if N <= 128:
         Np = _round_up(max(N, 8), 8)
@@ -139,23 +161,27 @@ def hamming_top2(qd, db, db_valid, interpret: bool = False):
         TN = 128
         Np = _round_up(N, TN)
 
-    qd_p = jnp.pad(qd, ((0, Np - N), (0, 0)))
-    db_p = jnp.pad(db, ((0, Mp - M), (0, 0)))
+    q_p = jnp.pad(q_feat, ((0, Np - N), (0, 0)))
+    db_p = jnp.pad(db_feat, ((0, Mp - M), (0, 0)))
+    qn_p = jnp.pad(qn, ((0, Np - N), (0, 0)))
+    dn_p = jnp.pad(dn, ((0, 0), (0, Mp - M)))
     valid_p = jnp.pad(db_valid.astype(jnp.int32), (0, Mp - M))[None, :]
-    db_t = db_p.T  # [W, Mp] so tiles broadcast as [1, TM] rows
+    db_t = db_p.T  # [D, Mp]: contraction-major so the MXU streams db tiles
 
     grid = (Np // TN, Mp // TM)
     out_shape = (
         jax.ShapeDtypeStruct((Np, 1), jnp.int32),
-        jax.ShapeDtypeStruct((Np, 1), jnp.int32),
-        jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
     )
     bi, b1, b2 = pl.pallas_call(
-        functools.partial(_hamming_kernel, words=W, tm=TM),
+        functools.partial(_dist_top2_kernel, tm=TM),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TN, W), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, TM), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, TM), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TM), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -168,8 +194,50 @@ def hamming_top2(qd, db, db_valid, interpret: bool = False):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qd_p, db_t, valid_p)
+    )(q_p, db_t, qn_p, dn_p, valid_p)
     return bi[:N, 0], b1[:N, 0], b2[:N, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hamming_top2(qd, db, db_valid, interpret: bool = False):
+    """Per-query (best_idx, best, second) over the database, fused in-kernel.
+
+    qd [N, W] uint32, db [M, W] uint32, db_valid [M] bool. Distances are
+    exact (fp32 accumulation of 0/1 bit-dots is integer-exact to 2^24).
+    """
+    q_bits = unpack_bits(qd)
+    db_bits = unpack_bits(db)
+    # popcounts enter as the "squared norms" of the bit-dot identity:
+    # ||a||^2 = popcount(a) for 0/1 vectors, so dist = qn + dn - 2 a.b
+    # IS the Hamming distance.
+    qn = jnp.sum(
+        jax.lax.population_count(qd).astype(jnp.int32), axis=1, keepdims=True
+    ).astype(jnp.float32)
+    dn = jnp.sum(
+        jax.lax.population_count(db).astype(jnp.int32), axis=1, keepdims=True
+    ).astype(jnp.float32).T
+    bi, b1, b2 = _dist_top2(q_bits, db_bits, qn, dn, db_valid, interpret)
+    to_i32 = lambda d: jnp.where(
+        d >= _BIG_F / 2, _BIG, jnp.round(d).astype(jnp.int32)
+    )
+    return bi, to_i32(b1), to_i32(b2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def l2_top2(qd, db, db_valid, interpret: bool = False):
+    """Per-query (best_idx, best_d2, second_d2) for float descriptors.
+
+    qd [N, D] float, db [M, D] float, db_valid [M] bool. Same fused MXU
+    kernel as Hamming; distances are squared L2 (clamped at 0 like the
+    XLA twin).
+    """
+    qd = qd.astype(jnp.float32)
+    db = db.astype(jnp.float32)
+    qn = jnp.sum(qd * qd, axis=1, keepdims=True)
+    dn = jnp.sum(db * db, axis=1, keepdims=True).T
+    bi, b1, b2 = _dist_top2(qd, db, qn, dn, db_valid, interpret)
+    clamp = lambda d: jnp.where(d >= _BIG_F / 2, _BIG_F, jnp.maximum(d, 0.0))
+    return bi, clamp(b1), clamp(b2)
 
 
 # ---------------------------------------------------------------------------
@@ -199,4 +267,25 @@ def match(
         & (b1 <= max_distance)
         & (b1.astype(jnp.float32) < ratio * b2.astype(jnp.float32))
     )
+    return jnp.where(good, bi, -1), b1
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "use_pallas", "interpret"))
+def match_l2(
+    qd, q_valid, db, db_valid,
+    ratio: float = 0.8,
+    max_distance: float = 1e6,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """Lowe-ratio-tested nearest-neighbor matches for float descriptors.
+
+    Ratio test operates on squared distances (ratio is squared to match the
+    conventional distance-space test). Returns (match_idx [N], d2 [N]).
+    """
+    if use_pallas:
+        bi, b1, b2 = l2_top2(qd, db, db_valid, interpret=interpret)
+    else:
+        bi, b1, b2 = l2_top2_xla(qd, db, db_valid)
+    good = q_valid & (b1 <= max_distance) & (b1 < (ratio * ratio) * b2)
     return jnp.where(good, bi, -1), b1
