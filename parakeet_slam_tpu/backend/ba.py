@@ -12,8 +12,9 @@ TPU-first choices (cf. MegBA, PAPERS.md:9, for the distributed pattern):
       S·x = B·x − Jcᵀ(Jp(C⁻¹(Jpᵀ(Jc·x))))
   Every term is a dense batched einsum over the observation axis — MXU/VPU
   work with static shapes, no irregular camera-pair assembly.
-- C⁻¹ is the closed-form batched 3×3 inverse (`core/linalg.inv3`) — the
-  `kernels/schur` op. No linalg.solve anywhere.
+- C⁻¹ application is the fused Pallas `kernels/schur.cinv_apply` op
+  (closed-form cofactor inverse applied in one pass; C⁻¹ never hits HBM).
+  No linalg.solve anywhere.
 - Robust Huber weights fold into the residual/Jacobian weighting.
 - Distribution (SURVEY.md §2b "map-block parallelism"): observations and
   landmark blocks shard over the `dcn` mesh axis; each shard computes its
@@ -21,9 +22,9 @@ TPU-first choices (cf. MegBA, PAPERS.md:9, for the distributed pattern):
   vector — see `dist/dist_ba.py`. The math here is written as pure
   per-observation maps + segment reductions precisely so the sharded
   version is the same code under `shard_map`.
-- Jacobians via one vmapped `jax.jacfwd` over the 9-dim (camera-tangent,
-  point) perturbation of a single reprojection — one fused XLA op for all
-  observations.
+- Jacobians in closed form (`linearize`): dpi = camera.jac_project chained
+  with the SE(3) right-perturbation — verified against the vmapped
+  `jax.jacfwd` twin (`linearize_ad`) in tests/test_ba_jacobians.py.
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from parakeet_slam_tpu.core import geometry, linalg
+from parakeet_slam_tpu.kernels import schur
 from parakeet_slam_tpu.backend.graph import BAProblem
 
 
@@ -55,12 +57,9 @@ def _project_residual(camera, delta, cam_pose, point, uv):
     return uv - pred
 
 
-def linearize(camera, prob: BAProblem, huber_delta: float):
-    """Residuals + Jacobians for all observations.
-
-    Returns (r [O, Dz], Jc [O, Dz, 6], Jp [O, Dz, 3], w [O]) where w folds
-    validity and the Huber robust weight.
-    """
+def linearize_ad(camera, prob: BAProblem, huber_delta: float):
+    """Autodiff (jacfwd) twin of `linearize` — the semantics oracle for
+    tests/test_ba_jacobians.py; the production path is the closed form."""
     cam = prob.cam_pose[prob.obs_cam]
     pt = prob.points[prob.obs_pt]
     zero = jnp.zeros((9,))
@@ -72,11 +71,44 @@ def linearize(camera, prob: BAProblem, huber_delta: float):
 
     r, J = jax.vmap(one)(cam, pt, prob.obs_uv)
     Jc, Jp = J[..., :6], J[..., 6:]
-    # Huber: w = min(1, delta / ||r||)  (applied as scalar per observation)
+    return r, Jc, Jp, _huber_weights(prob, r, huber_delta)
+
+
+def _huber_weights(prob, r, huber_delta):
+    """w = min(1, delta / ||r||) folded with observation validity."""
     rnorm = jnp.linalg.norm(r, axis=-1)
     w_huber = jnp.minimum(1.0, huber_delta / jnp.maximum(rnorm, 1e-9))
-    w = w_huber * prob.obs_valid.astype(r.dtype)
-    return r, Jc, Jp, w
+    return w_huber * prob.obs_valid.astype(r.dtype)
+
+
+def linearize(camera, prob: BAProblem, huber_delta: float):
+    """Residuals + closed-form Jacobians for all observations.
+
+    Returns (r [O, Dz], Jc [O, Dz, 6], Jp [O, Dz, 3], w [O]) where w folds
+    validity and the Huber robust weight.
+
+    Derivation (right-perturbation on the camera, additive on the point):
+      p_cam(dc, dp) = (T.exp(dc))^-1 (X + dp) = exp(-dc) . q,
+      q = T^-1 X  =>  d p_cam/d v = -I,  d p_cam/d w = [q]_x,
+      d p_cam/d X = R(T)^T;  residual = z_obs (-) proj(p_cam)  =>
+      Jc = [dpi, -dpi [q]_x],  Jp = -dpi R^T  with dpi = camera.jac_project.
+    Verified against jacfwd in tests/test_ba_jacobians.py for all three
+    camera models; 3-5x cheaper than the 9-wide dual-number forward pass.
+    """
+    cam = prob.cam_pose[prob.obs_cam]                     # [O, 7]
+    pt = prob.points[prob.obs_pt]                         # [O, 3]
+    q = geometry.se3_apply_inverse(cam, pt)               # camera-frame point
+    pred = camera.project(q)
+    if hasattr(camera, "residual"):
+        r = camera.residual(prob.obs_uv, pred)
+    else:
+        r = prob.obs_uv - pred
+    dpi = camera.jac_project(q)                           # [O, Dz, 3]
+    qx = geometry.hat3(q)                                 # [O, 3, 3]
+    Jc = jnp.concatenate([dpi, -dpi @ qx], axis=-1)       # [O, Dz, 6]
+    Rt = geometry.quat_to_matrix(geometry.quat_conjugate(cam[..., 3:]))
+    Jp = -dpi @ Rt                                        # [O, Dz, 3]
+    return r, Jc, Jp, _huber_weights(prob, r, huber_delta)
 
 
 def _build_blocks(prob, r, Jc, Jp, w, lam):
@@ -106,8 +138,10 @@ def _build_blocks(prob, r, Jc, Jp, w, lam):
     return B, C, v, wg
 
 
-def _schur_matvec(x, prob, B, Cinv, Jc, Jp, w):
-    """S·x = B·x − Jcᵀ W Jp C⁻¹ Jpᵀ W Jc x, all per-observation."""
+def _schur_matvec(x, prob, B, C, Jc, Jp, w):
+    """S·x = B·x − Jcᵀ W Jp C⁻¹ Jpᵀ W Jc x, all per-observation. The C⁻¹
+    apply is the Pallas `kernels/schur` op (cofactor inverse fused with the
+    matvec, C⁻¹ never materialized in HBM)."""
     Bx = jnp.einsum("cij,cj->ci", B, x)
     # t = W Jc x  per obs [O, Dz]
     t = jnp.einsum("okj,oj->ok", Jc, x[prob.obs_cam]) * w[:, None]
@@ -115,7 +149,7 @@ def _schur_matvec(x, prob, B, Cinv, Jc, Jp, w):
     u = jnp.zeros((prob.num_points, 3)).at[prob.obs_pt].add(
         jnp.einsum("oki,ok->oi", Jp, t)
     )
-    y = jnp.einsum("pij,pj->pi", Cinv, u)
+    y = schur.cinv_apply(C, u)
     # back: s = W Jp y per obs, then Jcᵀ s per camera
     s = jnp.einsum("oki,oi->ok", Jp, y[prob.obs_pt]) * w[:, None]
     ECEx = jnp.zeros((prob.num_cams, 6)).at[prob.obs_cam].add(
@@ -164,8 +198,197 @@ def ba_cost(camera, prob: BAProblem, huber_delta: float) -> jax.Array:
     return jnp.sum(rho * prob.obs_valid)
 
 
-@partial(jax.jit, static_argnames=("camera", "iters", "pcg_iters", "solver"))
+# ---------------------------------------------------------------------------
+# Point-major packed path (the production TPU layout — see
+# graph.BAProblemPacked): per-point aggregations are dense axis-1 sums,
+# killing the 50k-wide XLA scatter-adds that dominated the obs-major matvec.
+# ---------------------------------------------------------------------------
+
+
+def linearize_packed(camera, packed, huber_delta: float):
+    """Closed-form residuals/Jacobians over the [Lm, K] bucketed table.
+    Same math as `linearize`, batched over (point, bucket-slot)."""
+    cam = packed.cam_pose[packed.p_cam]                   # [Lm, K, 7]
+    q = geometry.se3_apply_inverse(cam, packed.points[:, None, :])
+    pred = camera.project(q)
+    if hasattr(camera, "residual"):
+        r = camera.residual(packed.p_uv, pred)
+    else:
+        r = packed.p_uv - pred
+    dpi = camera.jac_project(q)                           # [Lm, K, Dz, 3]
+    qx = geometry.hat3(q)
+    Jc = jnp.concatenate([dpi, -dpi @ qx], axis=-1)       # [Lm, K, Dz, 6]
+    Rt = geometry.quat_to_matrix(geometry.quat_conjugate(cam[..., 3:]))
+    Jp = -dpi @ Rt                                        # [Lm, K, Dz, 3]
+    rnorm = jnp.linalg.norm(r, axis=-1)
+    w_huber = jnp.minimum(1.0, huber_delta / jnp.maximum(rnorm, 1e-9))
+    w = w_huber * packed.p_valid.astype(r.dtype)
+    return r, Jc, Jp, w
+
+
+def _build_blocks_packed(packed, r, Jc, Jp, w, lam):
+    C_, P_ = packed.num_cams, packed.num_points
+    K = packed.k_max
+    wJc = Jc * w[..., None, None]
+    wJp = Jp * w[..., None, None]
+    # B, v: scatter-add over the small [C, ...] tables (cheap target)
+    Bo = jnp.einsum("lkdi,lkdj->lkij", Jc, wJc).reshape(P_ * K, 6, 6)
+    cam_flat = packed.p_cam.reshape(-1)
+    B = jnp.zeros((C_, 6, 6)).at[cam_flat].add(Bo)
+    v = jnp.zeros((C_, 6)).at[cam_flat].add(
+        jnp.einsum("lkdi,lkd->lki", wJc, r).reshape(P_ * K, 6)
+    )
+    # C, w_g: dense per-point sums (the point-major payoff)
+    C = jnp.einsum("lkdi,lkdj->lij", Jp, wJp)
+    wg = jnp.einsum("lkdi,lkd->li", wJp, r)
+    eye6 = jnp.eye(6)
+    eye3 = jnp.eye(3)
+    cam_damp = jnp.where(packed.cam_fixed | ~packed.cam_valid, 1e12, lam)
+    B = B + cam_damp[:, None, None] * eye6
+    pt_damp = jnp.where(packed.pt_valid, lam, 1e12)
+    C = C + pt_damp[:, None, None] * eye3 + 1e-6 * eye3
+    return B, C, v, wg
+
+
+def _schur_matvec_packed(x, packed, B, C, Jc, Jp, w):
+    """S·x with dense per-point reductions; C⁻¹ apply is the Pallas
+    `kernels/schur` op."""
+    C_ = packed.num_cams
+    Bx = jnp.einsum("cij,cj->ci", B, x)
+    t = jnp.einsum("lkdj,lkj->lkd", Jc, x[packed.p_cam]) * w[..., None]
+    u = jnp.einsum("lkdi,lkd->li", Jp, t)                 # dense sum over K
+    y = schur.cinv_apply(C, u)
+    s = jnp.einsum("lkdi,li->lkd", Jp, y) * w[..., None]  # dense broadcast
+    back = jnp.einsum("lkdi,lkd->lki", Jc, s)
+    ECEx = jnp.zeros((C_, 6)).at[packed.p_cam.reshape(-1)].add(
+        back.reshape(-1, 6)
+    )
+    return Bx - ECEx
+
+
+def ba_cost_packed(camera, packed, huber_delta: float) -> jax.Array:
+    cam = packed.cam_pose[packed.p_cam]
+    q = geometry.se3_apply_inverse(cam, packed.points[:, None, :])
+    pred = camera.project(q)
+    if hasattr(camera, "residual"):
+        r = camera.residual(packed.p_uv, pred)
+    else:
+        r = packed.p_uv - pred
+    n = jnp.linalg.norm(r, axis=-1)
+    quad = 0.5 * n * n
+    lin = huber_delta * (n - 0.5 * huber_delta)
+    rho = jnp.where(n <= huber_delta, quad, lin)
+    return jnp.sum(rho * packed.p_valid)
+
+
 def optimize_ba(
+    camera,
+    prob,
+    iters: int = 10,
+    lam: float = 1e-4,
+    pcg_iters: int = 50,
+    pcg_tol: float = 1e-6,
+    huber_delta: float = 2.0,
+    solver: str = "pcg",
+) -> BAResult:
+    """Levenberg-damped GN with Schur elimination of the landmark blocks.
+
+    Accepts a `BAProblem` (packed on the host into the point-major layout —
+    call from outside jit) or a pre-packed `BAProblemPacked`. Returns the
+    same BAResult shape as always (problem carries updated poses/points).
+    """
+    from parakeet_slam_tpu.backend import graph as graph_mod
+
+    if isinstance(prob, BAProblem):
+        packed = graph_mod.pack_problem(prob)
+        out_prob = prob
+    else:
+        packed = prob
+        out_prob = None
+    res = _optimize_packed(
+        camera, packed, iters=iters, lam=lam, pcg_iters=pcg_iters,
+        pcg_tol=pcg_tol, huber_delta=huber_delta, solver=solver,
+    )
+    packed_out, costs, pcg_res = res
+    if out_prob is not None:
+        problem = out_prob.replace(
+            cam_pose=packed_out.cam_pose, points=packed_out.points
+        )
+    else:
+        problem = packed_out
+    return BAResult(problem=problem, costs=costs, pcg_residuals=pcg_res)
+
+
+@partial(jax.jit, static_argnames=("camera", "iters", "pcg_iters", "solver"))
+def _optimize_packed(
+    camera,
+    packed,
+    iters: int = 10,
+    lam: float = 1e-4,
+    pcg_iters: int = 50,
+    pcg_tol: float = 1e-6,
+    huber_delta: float = 2.0,
+    solver: str = "pcg",
+):
+    def step(carry, _):
+        cam_pose, points, lam_t = carry
+        p = packed.replace(cam_pose=cam_pose, points=points)
+        r, Jc, Jp, w = linearize_packed(camera, p, huber_delta)
+        B, C, v, wg = _build_blocks_packed(p, r, Jc, Jp, w, lam_t)
+        # rhs = -v + E C⁻¹ w_g
+        s = jnp.einsum(
+            "lkdi,li->lkd", Jp, schur.cinv_apply(C, wg)
+        ) * w[..., None]
+        ECw = jnp.zeros((p.num_cams, 6)).at[p.p_cam.reshape(-1)].add(
+            jnp.einsum("lkdi,lkd->lki", Jc, s).reshape(-1, 6)
+        )
+        rhs = -v + ECw
+
+        matvec = lambda x: _schur_matvec_packed(x, p, B, C, Jc, Jp, w)
+        if solver == "pcg":
+            # block-Jacobi preconditioner = B⁻¹
+            Minv = jnp.linalg.inv(B)
+            dc, pcg_res = _pcg(matvec, rhs, Minv, pcg_iters, pcg_tol)
+        else:
+            S = jax.vmap(
+                lambda e: matvec(e.reshape(p.num_cams, 6)), in_axes=1, out_axes=2
+            )(jnp.eye(p.num_cams * 6)).reshape(p.num_cams * 6, p.num_cams * 6)
+            dc = jnp.linalg.solve(S.T, rhs.reshape(-1)).reshape(p.num_cams, 6)
+            pcg_res = jnp.float32(0.0)
+
+        # back-substitute points: δp = -C⁻¹(w_g + Eᵀ δc)
+        t = jnp.einsum("lkdj,lkj->lkd", Jc, dc[p.p_cam]) * w[..., None]
+        Etdc = jnp.einsum("lkdi,lkd->li", Jp, t)
+        dp = -schur.cinv_apply(C, wg + Etdc)
+
+        new_cam = jax.vmap(
+            lambda po, d: geometry.se3_compose(po, geometry.se3_exp(d))
+        )(cam_pose, dc)
+        new_cam = jnp.where(packed.cam_fixed[:, None], cam_pose, new_cam)
+        new_points = points + dp * packed.pt_valid[:, None]
+
+        old_cost = ba_cost_packed(camera, p, huber_delta)
+        new_cost = ba_cost_packed(
+            camera, p.replace(cam_pose=new_cam, points=new_points), huber_delta
+        )
+        accept = new_cost < old_cost
+        cam_out = jnp.where(accept, new_cam, cam_pose)
+        pts_out = jnp.where(accept, new_points, points)
+        lam_next = jnp.where(accept, lam_t * 0.5, lam_t * 4.0)
+        return (cam_out, pts_out, lam_next), (new_cost, pcg_res)
+
+    # fp32 accumulation discipline (SURVEY.md §8): TPU's default bf16 matmul
+    # precision corrupts the normal equations enough to stall/diverge LM.
+    with jax.default_matmul_precision("highest"):
+        (cam_f, pts_f, _), (costs, pcg_res) = jax.lax.scan(
+            step, (packed.cam_pose, packed.points, jnp.float32(lam)), None,
+            length=iters,
+        )
+    return packed.replace(cam_pose=cam_f, points=pts_f), costs, pcg_res
+
+
+@partial(jax.jit, static_argnames=("camera", "iters", "pcg_iters", "solver"))
+def optimize_ba_obsmajor(
     camera,
     prob: BAProblem,
     iters: int = 10,
@@ -175,23 +398,25 @@ def optimize_ba(
     huber_delta: float = 2.0,
     solver: str = "pcg",
 ) -> BAResult:
-    """Levenberg-damped GN with Schur elimination of the landmark blocks."""
+    """Obs-major reference optimizer (jit-callable with a raw BAProblem) —
+    semantics oracle for tests and the fallback when packing is impossible
+    (e.g. the problem lives inside a traced computation)."""
 
     def step(carry, _):
         cam_pose, points, lam_t = carry
         p = prob.replace(cam_pose=cam_pose, points=points)
         r, Jc, Jp, w = linearize(camera, p, huber_delta)
         B, C, v, wg = _build_blocks(p, r, Jc, Jp, w, lam_t)
-        Cinv, _ = linalg.inv3(C)
         # rhs = -v + E C⁻¹ w_g ; E x = Jcᵀ W Jp x pattern as in matvec
-        s = jnp.einsum("oki,oi->ok", Jp, jnp.einsum(
-            "pij,pj->pi", Cinv, wg)[p.obs_pt]) * w[:, None]
+        s = jnp.einsum(
+            "oki,oi->ok", Jp, schur.cinv_apply(C, wg)[p.obs_pt]
+        ) * w[:, None]
         ECw = jnp.zeros((p.num_cams, 6)).at[p.obs_cam].add(
             jnp.einsum("oki,ok->oi", Jc, s)
         )
         rhs = -v + ECw
 
-        matvec = lambda x: _schur_matvec(x, p, B, Cinv, Jc, Jp, w)
+        matvec = lambda x: _schur_matvec(x, p, B, C, Jc, Jp, w)
         if solver == "pcg":
             Binv, _ = linalg.inv_psd(B) if B.shape[-1] <= 3 else (None, None)
             # block-Jacobi preconditioner = B⁻¹ (6x6 -> use jnp solve once)
@@ -210,7 +435,7 @@ def optimize_ba(
         Etdc = jnp.zeros((p.num_points, 3)).at[p.obs_pt].add(
             jnp.einsum("oki,ok->oi", Jp, t)
         )
-        dp = -jnp.einsum("pij,pj->pi", Cinv, wg + Etdc)
+        dp = -schur.cinv_apply(C, wg + Etdc)
 
         new_cam = jax.vmap(
             lambda po, d: geometry.se3_compose(po, geometry.se3_exp(d))

@@ -153,6 +153,99 @@ def make_ba_problem(
     )
 
 
+@struct.dataclass
+class BAProblemPacked:
+    """Point-major padded BA problem — the TPU execution layout.
+
+    Derived from `BAProblem` by `pack_problem`: every point's observations
+    are bucketed into a dense [Lm, Kmax] table.  The Schur matvec's
+    per-point aggregations (Jpᵀ t, C blocks, w_g, back-substitution) then
+    become dense axis-1 sums and broadcasts — no XLA scatter/gather on the
+    50k-wide point axis, which measured 4.6 ms PER scatter-add at EuRoC
+    scale on v5e.  Camera-side ops still index the small [C, ...] tables.
+
+    cam_pose  [C, 7], cam_valid [C], cam_fixed [C]
+    points    [Lm, 3], pt_valid [Lm]
+    p_cam     [Lm, K] int32 camera index per bucketed observation
+    p_uv      [Lm, K, Dz]
+    p_valid   [Lm, K] bool (padding rows are False)
+    """
+
+    cam_pose: jax.Array
+    cam_valid: jax.Array
+    points: jax.Array
+    pt_valid: jax.Array
+    cam_fixed: jax.Array
+    p_cam: jax.Array
+    p_uv: jax.Array
+    p_valid: jax.Array
+
+    @property
+    def num_cams(self) -> int:
+        return self.cam_pose.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def k_max(self) -> int:
+        return self.p_cam.shape[1]
+
+
+def pack_problem(prob: BAProblem, k_max: int | None = None) -> BAProblemPacked:
+    """Host-side repack of a BAProblem into the point-major padded layout.
+
+    k_max defaults to the actual maximum observations-per-point (rounded up
+    to a multiple of 4 to limit recompilation churn across problems). Must
+    be called OUTSIDE jit (uses concrete numpy values).
+    """
+    import numpy as np
+
+    obs_pt = np.asarray(prob.obs_pt)
+    obs_cam = np.asarray(prob.obs_cam)
+    obs_uv = np.asarray(prob.obs_uv)
+    valid = np.asarray(prob.obs_valid)
+    Lm = prob.num_points
+    Dz = obs_uv.shape[1]
+
+    pt_v = obs_pt[valid]
+    counts = np.bincount(pt_v, minlength=Lm) if pt_v.size else np.zeros(Lm, np.int64)
+    need = int(counts.max()) if counts.size else 1
+    if k_max is None:
+        k_max = max(4, ((need + 3) // 4) * 4)
+    elif need > k_max:
+        raise ValueError(
+            f"pack_problem: k_max={k_max} < max obs/point {need}; "
+            "raise k_max or split the problem"
+        )
+
+    p_cam = np.zeros((Lm, k_max), np.int32)
+    p_uv = np.zeros((Lm, k_max, Dz), obs_uv.dtype)
+    p_valid = np.zeros((Lm, k_max), bool)
+    idx = np.nonzero(valid)[0]
+    if idx.size:
+        order = np.argsort(obs_pt[idx], kind="stable")
+        o_sorted = idx[order]
+        pts = obs_pt[o_sorted]
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        slots = np.arange(o_sorted.size) - starts[pts]
+        p_cam[pts, slots] = obs_cam[o_sorted]
+        p_uv[pts, slots] = obs_uv[o_sorted]
+        p_valid[pts, slots] = True
+
+    return BAProblemPacked(
+        cam_pose=prob.cam_pose,
+        cam_valid=prob.cam_valid,
+        points=prob.points,
+        pt_valid=prob.pt_valid,
+        cam_fixed=prob.cam_fixed,
+        p_cam=jnp.asarray(p_cam),
+        p_uv=jnp.asarray(p_uv),
+        p_valid=jnp.asarray(p_valid),
+    )
+
+
 def estimate_relative_pose_3d3d(pa: jax.Array, pb: jax.Array, valid: jax.Array):
     """SE(3) T such that pa ≈ T(pb), from masked 3-D correspondences
     (Horn/Umeyama closed form, weights = valid mask). Used to turn loop-

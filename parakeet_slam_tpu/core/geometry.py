@@ -119,6 +119,14 @@ def quat_multiply(q1: jax.Array, q2: jax.Array) -> jax.Array:
     )
 
 
+def hat3(v: jax.Array) -> jax.Array:
+    """so(3) hat operator: [..., 3] -> skew-symmetric [..., 3, 3]."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    m = jnp.stack([zero, -z, y, z, zero, -x, -y, x, zero], axis=-1)
+    return m.reshape(*v.shape[:-1], 3, 3)
+
+
 def quat_conjugate(q: jax.Array) -> jax.Array:
     return q * jnp.array([-1.0, -1.0, -1.0, 1.0], dtype=q.dtype)
 

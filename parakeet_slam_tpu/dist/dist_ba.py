@@ -33,6 +33,7 @@ except ImportError:  # pragma: no cover
 
 from parakeet_slam_tpu.backend import ba as ba_mod
 from parakeet_slam_tpu.backend.graph import BAProblem
+from parakeet_slam_tpu.kernels import schur
 from parakeet_slam_tpu.core import geometry, linalg
 from parakeet_slam_tpu.dist.mesh import MAP_AXIS
 
@@ -174,14 +175,13 @@ def optimize_ba_distributed(
             B = B + cam_damp[:, None, None] * eye6
             pt_damp = jnp.where(pt_valid_l, lam_t, 1e12)
             Cb = Cb + pt_damp[:, None, None] * eye3 + 1e-6 * eye3
-            Cinv, _ = linalg.inv3(Cb)
 
             def ece_partial(x):
                 t = jnp.einsum("okj,oj->ok", Jc, x[obs_cam_l]) * w[:, None]
                 u = jnp.zeros((Lp, 3)).at[pt_local].add(
                     jnp.einsum("oki,ok->oi", Jp, t)
                 )
-                y = jnp.einsum("pij,pj->pi", Cinv, u)
+                y = schur.cinv_apply(Cb, u)
                 s = jnp.einsum("oki,oi->ok", Jp, y[pt_local]) * w[:, None]
                 return jnp.zeros((C_, 6)).at[obs_cam_l].add(
                     jnp.einsum("oki,ok->oi", Jc, s)
@@ -193,7 +193,7 @@ def optimize_ba_distributed(
 
             # rhs = -v + psum(E C⁻¹ w_g)
             s = jnp.einsum(
-                "oki,oi->ok", Jp, jnp.einsum("pij,pj->pi", Cinv, wg)[pt_local]
+                "oki,oi->ok", Jp, schur.cinv_apply(Cb, wg)[pt_local]
             ) * w[:, None]
             ECw = jax.lax.psum(
                 jnp.zeros((C_, 6)).at[obs_cam_l].add(
@@ -211,7 +211,7 @@ def optimize_ba_distributed(
             Etdc = jnp.zeros((Lp, 3)).at[pt_local].add(
                 jnp.einsum("oki,ok->oi", Jp, t)
             )
-            dp = -jnp.einsum("pij,pj->pi", Cinv, wg + Etdc)
+            dp = -schur.cinv_apply(Cb, wg + Etdc)
 
             new_cam = jax.vmap(
                 lambda po, d: geometry.se3_compose(po, geometry.se3_exp(d))

@@ -109,48 +109,89 @@ class FastSLAM:
             ll = ll - c.desc_weight * ham
         return ll
 
-    def _process_observation(
-        self, state: ParticleState, matched, obs_row, weight_matched: bool = True
-    ):
-        """One observation against every particle's map. Returns updated
-        (state, matched-mask [P, L], did_match [P]).
-
-        `weight_matched=False` suppresses ALL importance-weight updates
-        (matched likelihood and new-landmark log p0): FastSLAM 2.0 accounts
-        for every observation in its proposal stage instead
-        (filter/fastslam2.py), and this pass only updates the maps."""
-        c = self.cfg
-        z, sig, desc, valid = obs_row
-        P, L = state.lm_valid.shape
+    def _score_observation(self, state: ParticleState, z, sig, desc):
+        """Likelihood of one observation against every (particle, landmark)
+        pair of the PRE-FRAME map. Returns (best_idx [P], best_ll [P])."""
         dtype = state.pose.dtype
-
-        # Likelihoods + EKF ingredients for all (particle, landmark) pairs.
         pair_fn = jax.vmap(  # over landmarks
-            lambda pose, m, cov: self._per_pair_stats(pose, m, cov, z),
+            lambda pose, m, cov: self._per_pair_stats(pose, m, cov, z)[3],
             in_axes=(None, 0, 0),
         )
         pair_fn = jax.vmap(pair_fn, in_axes=(0, 0, 0))  # over particles
-        nu, Q, H, ll_geom = pair_fn(state.pose, state.lm_mean, state.lm_cov)
-
-        ll = ll_geom + self._appearance_loglik(sig, desc, state.lm_sig, state.lm_desc, dtype)
+        ll = pair_fn(state.pose, state.lm_mean, state.lm_cov)
+        ll = ll + self._appearance_loglik(sig, desc, state.lm_sig, state.lm_desc, dtype)
         # Non-finite likelihoods (fp32 overflow in Q for degenerate geometry)
         # must lose the association argmax, not win it via NaN comparisons.
         ll = jnp.where(state.lm_valid & jnp.isfinite(ll), ll, _NEG_INF)
-
-        best = jnp.argmax(ll, axis=-1)                      # [P]
+        best = jnp.argmax(ll, axis=-1)
         best_ll = jnp.take_along_axis(ll, best[:, None], axis=1)[:, 0]
-        any_valid = jnp.any(state.lm_valid, axis=-1)
-        is_new = (best_ll < c.new_landmark_loglik) | ~any_valid
-        do_update = valid & ~is_new                         # [P]
-        do_new = valid & is_new
+        return best, best_ll
 
-        # --- EKF update of the associated landmark (masked scatter) ------
+    def _associate_frame(self, state: ParticleState, obs: Observation):
+        """Batched pre-frame association for the whole frame (the v2
+        semantics shared with the Pallas kernels — see kernels/ekf_update.py
+        docstring): every observation scores against the PRE-FRAME map;
+        new landmarks take ascending free slots in observation order.
+
+        Returns (target [P, Z] int32 lane or -1, is_new [P, Z],
+                 do_upd [P, Z], do_alloc [P, Z], best_ll [P, Z]).
+        """
+        c = self.cfg
+        P, L = state.lm_valid.shape
+        Z = obs.capacity
+
+        def sc(_, row):
+            z, sig, desc = row
+            return None, self._score_observation(state, z, sig, desc)
+
+        _, (best, best_ll) = jax.lax.scan(sc, None, (obs.z, obs.sig, obs.desc))
+        best = best.T                                        # [P, Z]
+        best_ll = best_ll.T
+        valid = obs.valid[None, :]                           # [1, Z]
+        any_cand = jnp.any(state.lm_valid, axis=-1)[:, None]
+        is_new = (best_ll < c.new_landmark_loglik) | ~any_cand
+        do_new = is_new & valid
+
+        # Free slots in ascending lane order (holes from culling, then the
+        # virgin tail); at most n_fs allocations per frame (kernel cap).
+        n_fs = min(Z, 64)
+        lanes = jnp.arange(L, dtype=jnp.int32)[None, :]
+        free_sorted = jnp.sort(
+            jnp.where(state.lm_valid, jnp.int32(2**30), lanes), axis=1
+        )[:, :n_fs]                                          # [P, n_fs]
+        arank = jnp.cumsum(do_new.astype(jnp.int32), axis=1) - do_new
+        slot = jnp.take_along_axis(
+            free_sorted, jnp.clip(arank, 0, n_fs - 1), axis=1
+        )
+        has_free = (slot < L) & (arank < n_fs)
+        do_alloc = do_new & has_free
+        do_upd = ~is_new & valid
+        target = jnp.where(
+            do_upd, best, jnp.where(do_alloc, slot, jnp.int32(-1))
+        )
+        return target, is_new, do_upd, do_alloc, best_ll
+
+    def _apply_observation(self, state: ParticleState, matched, obs_row):
+        """Apply one observation's EKF update / allocation at its
+        pre-assigned target lane (sequential composition step of the v2
+        semantics). obs_row = (z, sig, desc, target [P], is_new [P])."""
+        c = self.cfg
+        z, sig, desc, target, is_new = obs_row
+        P, L = state.lm_valid.shape
+        dtype = state.pose.dtype
+        active = target >= 0
+        do_update = active & ~is_new
+        do_alloc = active & is_new
+        tgt = jnp.clip(target, 0, L - 1)
+
         take = lambda a: jnp.take_along_axis(
-            a, best.reshape(P, *([1] * (a.ndim - 1))), axis=1
+            a, tgt.reshape(P, *([1] * (a.ndim - 1))), axis=1
         )[:, 0]
-        nu_b, Q_b, H_b = take(nu), take(Q), take(H)
         cov_b = take(state.lm_cov)
         mean_b = take(state.lm_mean)
+        nu_b, Q_b, H_b, _ = jax.vmap(self._per_pair_stats, in_axes=(0, 0, 0, None))(
+            state.pose, mean_b, cov_b, z
+        )
         Qinv_b, _ = linalg.inv_psd(Q_b)
         K = cov_b @ jnp.swapaxes(H_b, -1, -2) @ Qinv_b      # [P, Dl, Dz]
         mean_new = mean_b + (K @ nu_b[..., None])[..., 0]
@@ -159,7 +200,7 @@ class FastSLAM:
         # Joseph-lite symmetrization for numerical hygiene.
         cov_new = 0.5 * (cov_new + jnp.swapaxes(cov_new, -1, -2))
 
-        onehot_best = jax.nn.one_hot(best, L, dtype=bool) & do_update[:, None]
+        onehot_best = jax.nn.one_hot(tgt, L, dtype=bool) & do_update[:, None]
         state = state.replace(
             lm_mean=jnp.where(onehot_best[..., None], mean_new[:, None, :], state.lm_mean),
             lm_cov=jnp.where(
@@ -181,13 +222,10 @@ class FastSLAM:
                 lm_desc=jnp.where(onehot_best[..., None], desc[None, None, :], state.lm_desc)
             )
 
-        # --- new-landmark allocation (first free slot, masked write) -----
+        # --- new-landmark allocation at the pre-assigned slot -------------
         init_fn = jax.vmap(lambda pose: self.model.init(pose, z))
         mean0, cov0 = init_fn(state.pose)                   # [P, Dl], [P, Dl, Dl]
-        free_slot = jnp.argmin(state.lm_valid, axis=-1)     # first False
-        has_free = ~jnp.all(state.lm_valid, axis=-1)
-        do_alloc = do_new & has_free
-        onehot_free = jax.nn.one_hot(free_slot, L, dtype=bool) & do_alloc[:, None]
+        onehot_free = jax.nn.one_hot(tgt, L, dtype=bool) & do_alloc[:, None]
         state = state.replace(
             lm_mean=jnp.where(onehot_free[..., None], mean0[:, None, :], state.lm_mean),
             lm_cov=jnp.where(
@@ -204,17 +242,6 @@ class FastSLAM:
             state = state.replace(
                 lm_desc=jnp.where(onehot_free[..., None], desc[None, None, :], state.lm_desc)
             )
-
-        # --- importance weights ------------------------------------------
-        if weight_matched:
-            log_w = state.log_w + jnp.where(
-                valid,
-                jnp.where(is_new, c.new_landmark_loglik, best_ll),
-                0.0,
-            )
-        else:
-            log_w = state.log_w
-        state = state.replace(log_w=log_w)
 
         matched = matched | onehot_best | onehot_free
         return state, matched, do_update | do_alloc
@@ -325,13 +352,6 @@ class FastSLAM:
         ):
             return self._measurement_update_pallas_3d(state, obs, weight_matched)
 
-        def scan_body(carry, obs_row):
-            st, matched, n_match = carry
-            st, matched, did = self._process_observation(
-                st, matched, obs_row, weight_matched
-            )
-            return (st, matched, n_match + did.astype(jnp.float32)), None
-
         matched0 = jnp.zeros((P, L), bool)
         # fp32 discipline: the EKF small-matrix matmuls (H Σ Hᵀ, K ν, (I−KH)Σ)
         # are batched dot_generals that TPU lowers to bf16-input MXU passes at
@@ -339,11 +359,29 @@ class FastSLAM:
         # parity with the elementwise-exact Pallas kernel. These ops are tiny
         # relative to the frame, so force full fp32 like backend/ba.py does.
         with jax.default_matmul_precision("highest"):
-            (state, matched, n_match), _ = jax.lax.scan(
-                scan_body,
-                (state, matched0, jnp.zeros((P,), jnp.float32)),
-                (obs.z, obs.sig, obs.desc, obs.valid),
+            # v2 semantics (shared with the Pallas kernels): batched
+            # pre-frame association, then sequential per-obs composition.
+            target, is_new, do_upd, do_alloc, best_ll = self._associate_frame(
+                state, obs
             )
+            if weight_matched:
+                dw = jnp.where(is_new, c.new_landmark_loglik, best_ll)
+                state = state.replace(
+                    log_w=state.log_w
+                    + jnp.sum(jnp.where(obs.valid[None, :], dw, 0.0), axis=1)
+                )
+
+            def scan_body(carry, obs_row):
+                st, matched = carry
+                st, matched, _did = self._apply_observation(st, matched, obs_row)
+                return (st, matched), None
+
+            (state, matched), _ = jax.lax.scan(
+                scan_body,
+                (state, matched0),
+                (obs.z, obs.sig, obs.desc, target.T, is_new.T),
+            )
+            n_match = jnp.sum((do_upd | do_alloc).astype(jnp.float32), axis=1)
 
         # --- map management: decrement in-FOV-but-unmatched, cull ---------
         if c.cull_enabled:

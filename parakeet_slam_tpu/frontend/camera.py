@@ -89,6 +89,17 @@ class Stereo:
             & (uvd[..., 2] > 0)
         )
 
+    def jac_project(self, p: jax.Array) -> jax.Array:
+        """d project / d p_cam, [..., 3, 3]."""
+        z = jnp.clip(p[..., 2], 1e-3)
+        iz = 1.0 / z
+        iz2 = iz * iz
+        zero = jnp.zeros_like(z)
+        row_u = jnp.stack([self.fx * iz, zero, -self.fx * p[..., 0] * iz2], axis=-1)
+        row_v = jnp.stack([zero, self.fy * iz, -self.fy * p[..., 1] * iz2], axis=-1)
+        row_d = jnp.stack([zero, zero, -self.fx * self.baseline * iz2], axis=-1)
+        return jnp.stack([row_u, row_v, row_d], axis=-2)
+
 
 @dataclass(frozen=True)
 class Equirect:
@@ -126,6 +137,20 @@ class Equirect:
 
     def in_image(self, uv: jax.Array, margin: float = 0.0) -> jax.Array:
         return (uv[..., 1] >= margin) & (uv[..., 1] < self.height - margin)
+
+    def jac_project(self, p: jax.Array) -> jax.Array:
+        """d project / d p_cam, [..., 2, 3] (u-wrap is measure-zero)."""
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        rho2 = x * x + y * y + 1e-9
+        r2 = rho2 + z * z
+        rho = jnp.sqrt(rho2)
+        ku = self.width / (2.0 * jnp.pi)
+        kv = self.height / jnp.pi
+        zero = jnp.zeros_like(x)
+        row_u = jnp.stack([-ku * y / rho2, ku * x / rho2, zero], axis=-1)
+        s = kv / (r2 * rho)
+        row_v = jnp.stack([x * z * s, y * z * s, -rho2 * s], axis=-1)
+        return jnp.stack([row_u, row_v], axis=-2)
 
 
 def from_config(fe_cfg):

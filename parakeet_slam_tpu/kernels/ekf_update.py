@@ -3,23 +3,38 @@
 This is the hot loop BASELINE.json:5 names: "propagation, EKF
 innovation/Kalman-gain updates ... are single fused Pallas kernels".
 
-TPU-first layout: the per-particle landmark maps are viewed as
-structure-of-arrays planes of shape [P, L] (mean-x, mean-y, cov-xx, cov-xy,
-cov-yy, signature channels, valid, count). One kernel invocation processes
-ALL Z observations of a frame sequentially (the textbook FastSLAM ordering
-— association of obs i sees obs i-1's map) with the state planes resident
-in VMEM for the whole frame: zero HBM round-trips between observations.
-The equivalent XLA path (`filter/fastslam.py::_process_observation`)
-materializes [P, L, 2, 2] intermediates in HBM per observation.
+Association semantics (v2, shared bit-for-bit with the XLA reference path
+`filter/fastslam.py`): **parallel pre-frame association, per-lane
+sequential composition.**  Every observation of a frame is scored against
+the PRE-FRAME map (maximum-likelihood over landmarks, per particle); new
+landmarks allocate free slots in observation order; observations that
+associate to the same landmark apply their EKF updates sequentially in
+observation order ("collision rounds" in-kernel, a sequential scan in the
+XLA twin — identical arithmetic, identical results).  This differs from
+the textbook strictly-sequential formulation (SURVEY.md §3) only in that
+observation i's ASSOCIATION does not see observation i-1's update — the
+standard batched formulation for SIMD hardware: within one frame the map
+barely moves, detections are NMS-deduplicated, and the Monte-Carlo filter
+is robust to it (golden-ATE regression tests pin the accuracy).
 
-VMEM discipline (what makes this scale to L = 10k+ under the ~16 MB scoped
-limit): the grid tiles the particle axis; within a tile all mutation is
-IN-PLACE on the output refs (no whole-plane loop carries), per-(particle,
-landmark) likelihoods are computed chunk-by-chunk over the landmark axis
-into one [Pt, L] scratch plane (so only O(chunk) temporaries are ever
-live), and the EKF update itself is computed in per-particle VECTOR space
-([Pt, 1] gathers of the associated landmark via one-hot reductions) before
-being scattered back with masked writes.
+Why v2: the v1 kernel processed observations strictly sequentially, which
+forced per-observation full-plane gathers, masked scatters, and likelihood-
+cache refreshes (~45 extra VPU ops/lane/obs on top of the ~16-op scoring
+sweep).  Batched association reduces per-observation plane work to the
+scoring sweep alone; the apply phase runs once per frame.  A bf16 MXU
+feature-matmul formulation of the sweep was prototyped and REJECTED:
+expanding the Mahalanobis quadratic for the matmul cancels catastrophically
+in bf16 (measured: max |ll| error 1.7, 20% argmax agreement), so scoring
+stays on the VPU in exact fp32 difference form.
+
+TPU layout: per-particle landmark maps as structure-of-arrays planes
+[P, L] (mean-x, mean-y, cov-xx/xy/yy, signature channels, valid, count),
+VMEM-resident for the whole frame.  The landmark axis is processed in
+chunks with a DYNAMIC trip count bounded by the map's high-watermark
+(`active_hi`): allocation is first-free-slot so lanes beyond the highest
+ever-allocated slot are never valid, and frames early in a run (or any
+run whose map is far below capacity Lmax) skip the dead lanes entirely —
+the whole sweep scales with the LIVE map, not the capacity.
 
 Math per (particle p, landmark l, observation z) — SURVEY.md §3:
   dx, dy   = mean - pose.xy;  q = dx²+dy²;  r = √q
@@ -30,10 +45,10 @@ Math per (particle p, landmark l, observation z) — SURVEY.md §3:
   ĵ        = argmax_l ℓ;  new landmark iff max ℓ < log p₀
   update   : K = ΣHᵀQ⁻¹;  μ += Kν;  Σ ← (I-KH)Σ;  w += ℓ
   new      : μ = h⁻¹(pose, z);  Σ = H⁻¹R H⁻ᵀ;  w += log p₀
-All 2×2 inverses are closed-form cofactors (`core/linalg.py` is the XLA
-twin) — no linalg.solve in-kernel. Index selection is explicit first-match
-lane-min (Mosaic argmax tie-breaking differs from interpret mode), and
-padding lanes beyond the real capacity are never associated or allocated.
+All 2×2 inverses are closed-form cofactors; no linalg.solve in-kernel.
+Index selection is explicit first-match lane-min (Mosaic argmax
+tie-breaking differs from interpret mode); padding lanes are never
+associated or allocated.
 """
 
 from __future__ import annotations
@@ -46,19 +61,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from parakeet_slam_tpu.kernels import mathx
+from parakeet_slam_tpu.kernels import ekf_common, mathx
 
 _NEG_INF = -1e30
 _LOG_2PI = math.log(2.0 * math.pi)
+_BIG_LANE = 2**30
 
-# Mosaic has no atan2 primitive; use the polynomial octant reduction.
 _atan2 = mathx.atan2
 _wrap = mathx.wrap_angle
 
 
 def _kernel(
-    # SMEM observation arrays
-    z_ref, sig_ref, vz_ref,
+    # SMEM observation arrays + active watermark
+    z_ref, sig_ref, vz_ref, hi_ref,
     # VMEM per-particle inputs
     pose_ref, logw_ref,
     mx_ref, my_ref, cxx_ref, cxy_ref, cyy_ref,
@@ -77,266 +92,283 @@ def _kernel(
     cull: bool,
     update_weights: bool,
 ):
-    # Unpack variadic refs: sig planes (in), valid, count, outputs, scratch.
-    sig_in = refs[:sig_dim]
-    lv_ref, lc_ref = refs[sig_dim], refs[sig_dim + 1]
-    out = refs[sig_dim + 2 : sig_dim + 2 + 9 + sig_dim]
+    S = sig_dim
+    sig_in = refs[:S]
+    lv_ref, lc_ref = refs[S], refs[S + 1]
+    out = refs[S + 2 : S + 2 + 9 + S]
     (logw_o, mx_o, my_o, cxx_o, cxy_o, cyy_o) = out[:6]
-    sig_out = out[6 : 6 + sig_dim]
-    lv_o, lc_o = out[6 + sig_dim], out[7 + sig_dim]
-    nmatch_o = out[8 + sig_dim]
-    tail = refs[sig_dim + 2 + 9 + sig_dim :]
-    ll_s, matched_s = tail[0], tail[1]
-    # Likelihood cache: range/bearing prediction + innovation covariance +
-    # logdet per landmark, filled once per frame and refreshed per-lane
-    # after updates/allocations — the per-observation sweep then costs
-    # residual + quadratic form instead of the full sqrt/atan2/H/Q chain.
-    r_s, th_s, q11_s, q12_s, q22_s, det_s, ld_s = tail[2:9]
+    sig_out = out[6 : 6 + S]
+    lv_o, lc_o = out[6 + S], out[7 + S]
+    nmatch_o = out[8 + S]
+    tail = refs[S + 2 + 9 + S :]
+    # scoring cache planes: r, th, Af(-A/2), Bf(+B), Cf(-C/2), ldf
+    r_s, th_s, a_s, b_s, c_s, ld_s = tail[0:6]
+    # narrow scratch [Pt, Zp]: top ll / idx, free-slot list, target, flags
+    top_ll, top_ix, fs_s, tgt_s, new_s, done_s = tail[6:12]
+    matched_s = tail[12]  # [Pt, L] plane: touched-this-frame mask
 
     P, L = mx_o.shape
-    NC = L // chunk
+    Z = num_obs
     r11, r22 = r_var
 
-    # ---- initialize: copy state into the (aliased) output blocks --------
+    # ---- init: copy state into the (aliased) output blocks ---------------
     logw_o[:, :] = logw_ref[:, :]
     mx_o[:, :] = mx_ref[:, :]
     my_o[:, :] = my_ref[:, :]
     cxx_o[:, :] = cxx_ref[:, :]
     cxy_o[:, :] = cxy_ref[:, :]
     cyy_o[:, :] = cyy_ref[:, :]
-    for c in range(sig_dim):
+    for c in range(S):
         sig_out[c][:, :] = sig_in[c][:, :]
     lv_o[:, :] = lv_ref[:, :]
     lc_o[:, :] = lc_ref[:, :]
     nmatch_o[:, :] = jnp.zeros((P, 1), jnp.float32)
     matched_s[:, :] = jnp.zeros((P, L), jnp.float32)
+    top_ll[:, :] = jnp.full(top_ll.shape, _NEG_INF, jnp.float32)
+    top_ix[:, :] = jnp.zeros(top_ix.shape, jnp.float32)
 
     px = pose_ref[:, 0:1]
     py = pose_ref[:, 1:2]
     pth = pose_ref[:, 2:3]
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
-    lane_f = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
-    real_f = lane_f < num_landmarks
-    BIG_LANE = jnp.int32(2**30)
+    obs_lane = jax.lax.broadcasted_iota(jnp.int32, top_ll.shape, 1)
 
-    def predict(mx, my, cxx, cxy, cyy):
-        """(r, bearing, Q entries, det) at a landmark state — the same
-        unrolled ops serve the chunked cache fill and the [P, 1] refresh,
-        so cached likelihoods stay bit-exact vs a fresh sweep."""
-        dx = mx - px
-        dy = my - py
-        q = dx * dx + dy * dy + 1e-12
-        r = jnp.sqrt(q)
-        h11 = dx / r
-        h12 = dy / r
-        h21 = -dy / q
-        h22 = dx / q
-        a11 = h11 * cxx + h12 * cxy
-        a12 = h11 * cxy + h12 * cyy
-        q11 = a11 * h11 + a12 * h12 + r11
-        q12 = a11 * h21 + a12 * h22
-        q22 = (h21 * cxx + h22 * cxy) * h21 + (h21 * cxy + h22 * cyy) * h22 + r22
-        det = jnp.maximum(q11 * q22 - q12 * q12, 1e-12)
-        return r, _atan2(dy, dx) - pth, q11, q12, q22, det
+    # Active region: chunks that can hold valid lanes now, plus one chunk of
+    # headroom for this frame's tail allocations.  hi == number of chunks
+    # with any ever-allocated lane (computed by the wrapper).
+    nca = hi_ref[0]                      # active chunks (scan/score bound)
+    hi_c = nca * chunk                   # first fully-virgin lane
+    ncw = jnp.minimum(nca + 1, L // chunk)  # write bound (allocs may spill)
 
-    # ---- pass 0: fill the likelihood cache, chunked over landmarks ------
+    # ---- pass 0: scoring cache over active chunks ------------------------
     def cache_chunk(c, _):
         sl = pl.ds(c * chunk, chunk)
-        r, th, q11, q12, q22, det = predict(
-            mx_o[:, sl], my_o[:, sl],
-            cxx_o[:, sl], cxy_o[:, sl], cyy_o[:, sl],
-        )
-        r_s[:, sl] = r
-        th_s[:, sl] = th
-        q11_s[:, sl] = q11
-        q12_s[:, sl] = q12
-        q22_s[:, sl] = q22
-        det_s[:, sl] = det
-        ld_s[:, sl] = jnp.log(det)
-        return 0
-
-    jax.lax.fori_loop(0, NC, cache_chunk, 0)
-
-    def obs_body(i, _):
-        zr = z_ref[i, 0]
-        zphi = z_ref[i, 1]
-        ovalid = vz_ref[i] > 0
-
-        # ---- pass A: likelihoods over the cache, chunked ----------------
-        def ll_chunk(c, _):
-            sl = pl.ds(c * chunk, chunk)
-            q11 = q11_s[:, sl]
-            q12 = q12_s[:, sl]
-            q22 = q22_s[:, sl]
-            det = det_s[:, sl]
-            nu1 = zr - r_s[:, sl]
-            nu2 = _wrap(zphi - th_s[:, sl])
-            # clamp: indefinite Q (fp-drifted cov) must lose the argmax,
-            # not win it with a sign-flipped "negative distance"
-            maha = jnp.maximum(
-                (nu1 * nu1 * q22 - 2.0 * nu1 * nu2 * q12 + nu2 * nu2 * q11)
-                / det,
-                0.0,
-            )
-            ll = -0.5 * (maha + ld_s[:, sl] + 2.0 * _LOG_2PI)
-            for s in range(sig_dim):
-                ds_ = sig_out[s][:, sl] - sig_ref[i, s]
-                ll = ll - 0.5 * ds_ * ds_ / sig_var
-            valid_here = (lv_o[:, sl] > 0) & ((lane_c + c * chunk) < num_landmarks)
-            ll_s[:, sl] = jnp.where(valid_here, ll, _NEG_INF)
-            return 0
-
-        jax.lax.fori_loop(0, NC, ll_chunk, 0)
-
-        # ---- association ------------------------------------------------
-        best_ll = jnp.max(ll_s[:, :], axis=1, keepdims=True)       # [P, 1]
-        best_idx = jnp.min(
-            jnp.where(ll_s[:, :] == best_ll, lane_f, BIG_LANE),
-            axis=1, keepdims=True,
-        )
-        onehot = (lane_f == best_idx).astype(jnp.float32)          # [P, L]
-        any_valid = best_ll > _NEG_INF / 2
-        is_new = (best_ll < log_p0) | ~any_valid                   # [P, 1]
-        do_upd = ~is_new & ovalid                                  # [P, 1]
-
-        # ---- gather the associated landmark into vector space ----------
-        def pick(plane_ref):
-            return jnp.sum(plane_ref[:, :] * onehot, axis=1, keepdims=True)
-
-        mx_b = pick(mx_o)
-        my_b = pick(my_o)
-        cxx_b = pick(cxx_o)
-        cxy_b = pick(cxy_o)
-        cyy_b = pick(cyy_o)
-
-        # ---- EKF update in [P, 1] space ---------------------------------
-        dx = mx_b - px
-        dy = my_b - py
+        dx = mx_o[:, sl] - px
+        dy = my_o[:, sl] - py
         q = dx * dx + dy * dy + 1e-12
         r = jnp.sqrt(q)
         h11 = dx / r
         h12 = dy / r
         h21 = -dy / q
         h22 = dx / q
-        a11 = h11 * cxx_b + h12 * cxy_b
-        a12 = h11 * cxy_b + h12 * cyy_b
-        a21 = h21 * cxx_b + h22 * cxy_b
-        a22 = h21 * cxy_b + h22 * cyy_b
+        sxx, sxy, syy = cxx_o[:, sl], cxy_o[:, sl], cyy_o[:, sl]
+        a11 = h11 * sxx + h12 * sxy
+        a12 = h11 * sxy + h12 * syy
         q11 = a11 * h11 + a12 * h12 + r11
         q12 = a11 * h21 + a12 * h22
-        q22 = a21 * h21 + a22 * h22 + r22
+        q22 = (h21 * sxx + h22 * sxy) * h21 + (h21 * sxy + h22 * syy) * h22 + r22
         det = jnp.maximum(q11 * q22 - q12 * q12, 1e-12)
-        qi11 = q22 / det
-        qi12 = -q12 / det
-        qi22 = q11 / det
-        nu1 = zr - r
-        nu2 = _wrap(zphi - (_atan2(dy, dx) - pth))
-        b11 = cxx_b * h11 + cxy_b * h12
-        b12 = cxx_b * h21 + cxy_b * h22
-        b21 = cxy_b * h11 + cyy_b * h12
-        b22 = cxy_b * h21 + cyy_b * h22
-        k11 = b11 * qi11 + b12 * qi12
-        k12 = b11 * qi12 + b12 * qi22
-        k21 = b21 * qi11 + b22 * qi12
-        k22 = b21 * qi12 + b22 * qi22
-        mx_u = mx_b + k11 * nu1 + k12 * nu2
-        my_u = my_b + k21 * nu1 + k22 * nu2
-        i11 = 1.0 - (k11 * h11 + k12 * h21)
-        i12 = -(k11 * h12 + k12 * h22)
-        i21 = -(k21 * h11 + k22 * h21)
-        i22 = 1.0 - (k21 * h12 + k22 * h22)
-        cxx_u = i11 * cxx_b + i12 * cxy_b
-        cxy_u = 0.5 * ((i11 * cxy_b + i12 * cyy_b) + (i21 * cxx_b + i22 * cxy_b))
-        cyy_u = i21 * cxy_b + i22 * cyy_b
-
-        # ---- allocation target (first free real slot) -------------------
-        free_idx = jnp.min(
-            jnp.where((lv_o[:, :] < 0.5) & real_f, lane_f, BIG_LANE),
-            axis=1, keepdims=True,
-        )
-        has_free = free_idx < BIG_LANE
-        do_alloc = is_new & has_free & ovalid                      # [P, 1]
-        ang = pth + zphi
-        ca = jnp.cos(ang)
-        sa = jnp.sin(ang)
-        nx = px + zr * ca
-        ny = py + zr * sa
-        zr2 = zr * zr
-        n_cxx = init_infl * (r11 * ca * ca + r22 * zr2 * sa * sa)
-        n_cxy = init_infl * ((r11 - r22 * zr2) * ca * sa)
-        n_cyy = init_infl * (r11 * sa * sa + r22 * zr2 * ca * ca)
-
-        # ---- scatter back (masked writes; one [P, L] temp at a time) ----
-        upd_m = (lane_f == best_idx) & do_upd
-        alloc_m = (lane_f == free_idx) & do_alloc
-        mx_o[:, :] = jnp.where(upd_m, mx_u, jnp.where(alloc_m, nx, mx_o[:, :]))
-        my_o[:, :] = jnp.where(upd_m, my_u, jnp.where(alloc_m, ny, my_o[:, :]))
-        cxx_o[:, :] = jnp.where(
-            upd_m, cxx_u, jnp.where(alloc_m, n_cxx, cxx_o[:, :])
-        )
-        cxy_o[:, :] = jnp.where(
-            upd_m, cxy_u, jnp.where(alloc_m, n_cxy, cxy_o[:, :])
-        )
-        cyy_o[:, :] = jnp.where(
-            upd_m, cyy_u, jnp.where(alloc_m, n_cyy, cyy_o[:, :])
-        )
-        lc_new = jnp.where(
-            upd_m, lc_o[:, :] + 2.0, jnp.where(alloc_m, 1.0, lc_o[:, :])
-        )
-        lc_o[:, :] = lc_new
-        if sig_dim:
-            cnt_b = jnp.maximum(jnp.sum(lc_new * onehot, axis=1, keepdims=True), 1.0)
-            for s in range(sig_dim):
-                sig_b = jnp.sum(sig_out[s][:, :] * onehot, axis=1, keepdims=True)
-                sig_u = sig_b + (sig_ref[i, s] - sig_b) / cnt_b
-                sig_out[s][:, :] = jnp.where(
-                    upd_m, sig_u, jnp.where(alloc_m, sig_ref[i, s], sig_out[s][:, :])
-                )
-        lv_o[:, :] = jnp.where(alloc_m, 1.0, lv_o[:, :])
-        touched = upd_m | alloc_m
-
-        # ---- refresh the likelihood cache at the touched lane -----------
-        # Recompute the prediction at the NEW landmark state in [P, 1]
-        # space so later observations score this lane bit-identically to
-        # a fresh sweep.
-        r2_, th2, q11_2, q12_2, q22_2, det2 = predict(
-            jnp.where(do_upd, mx_u, nx),
-            jnp.where(do_upd, my_u, ny),
-            jnp.where(do_upd, cxx_u, n_cxx),
-            jnp.where(do_upd, cxy_u, n_cxy),
-            jnp.where(do_upd, cyy_u, n_cyy),
-        )
-        r_s[:, :] = jnp.where(touched, r2_, r_s[:, :])
-        th_s[:, :] = jnp.where(touched, th2, th_s[:, :])
-        q11_s[:, :] = jnp.where(touched, q11_2, q11_s[:, :])
-        q12_s[:, :] = jnp.where(touched, q12_2, q12_s[:, :])
-        q22_s[:, :] = jnp.where(touched, q22_2, q22_s[:, :])
-        det_s[:, :] = jnp.where(touched, det2, det_s[:, :])
-        ld_s[:, :] = jnp.where(touched, jnp.log(det2), ld_s[:, :])
-
-        # ---- weights / bookkeeping -------------------------------------
-        # update_weights=False: FastSLAM 2.0 map pass — every observation's
-        # weight was already applied in the proposal stage
-        # (filter/fastslam2.py), this kernel only mutates the maps.
-        if update_weights:
-            dw = jnp.where(is_new, log_p0, best_ll)
-            logw_o[:, :] = logw_o[:, :] + jnp.where(ovalid, dw, 0.0)
-        matched_s[:, :] = jnp.where(touched, 1.0, matched_s[:, :])
-        nmatch_o[:, :] = nmatch_o[:, :] + jnp.max(
-            jnp.where(touched, 1.0, 0.0), axis=1, keepdims=True
-        )
+        r_s[:, sl] = r
+        th_s[:, sl] = _atan2(dy, dx) - pth
+        a_s[:, sl] = -0.5 * (q22 / det)
+        b_s[:, sl] = q12 / det
+        c_s[:, sl] = -0.5 * (q11 / det)
+        ok = (lv_o[:, sl] > 0) & ((lane_c + c * chunk) < num_landmarks)
+        ld_s[:, sl] = jnp.where(ok, -0.5 * (jnp.log(det) + 2.0 * _LOG_2PI), _NEG_INF)
         return 0
 
-    jax.lax.fori_loop(0, num_obs, obs_body, 0)
+    jax.lax.fori_loop(0, nca, cache_chunk, 0, unroll=False)
 
-    # ---- culling (chunked) ---------------------------------------------
+    # ---- pass 1: score every obs against the pre-frame map ---------------
+    # ll = Af*nu1² + Bf*nu1*nu2 + Cf*nu2² + ldf + sig terms (difference form,
+    # exact fp32 — see module docstring for why not an MXU matmul).
+    def score_chunk(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        r = r_s[:, sl]
+        th = th_s[:, sl]
+        Af = a_s[:, sl]
+        Bf = b_s[:, sl]
+        Cf = c_s[:, sl]
+        ldf = ld_s[:, sl]
+        lanes = lane_c + c * chunk
+
+        for i in range(Z):
+            nu1 = z_ref[i, 0] - r
+            nu2 = _wrap(z_ref[i, 1] - th)
+            # clamp: indefinite Q (fp-drifted cov) must lose the argmax, not
+            # win it with a sign-flipped "negative distance" (quad = -maha/2)
+            ll = jnp.minimum(
+                (Af * nu1 + Bf * nu2) * nu1 + Cf * nu2 * nu2, 0.0
+            ) + ldf
+            for s in range(S):
+                ds_ = sig_out[s][:, sl] - sig_ref[i, s]
+                ll = ll - (0.5 / sig_var) * ds_ * ds_
+            t1 = jnp.max(ll, axis=1, keepdims=True)
+            i1 = jnp.min(
+                jnp.where(ll == t1, lanes, _BIG_LANE), axis=1, keepdims=True
+            )
+            old = top_ll[:, i : i + 1]
+            better = t1 > old
+            top_ll[:, i : i + 1] = jnp.where(better, t1, old)
+            top_ix[:, i : i + 1] = jnp.where(
+                better, i1.astype(jnp.float32), top_ix[:, i : i + 1]
+            )
+        return 0
+
+    jax.lax.fori_loop(0, nca, score_chunk, 0, unroll=False)
+
+    # ---- pass 2+3: free slots + vectorized association (shared helpers) --
+    n_fs = min(Z, 64)
+    ekf_common.fill_free_slots(
+        fs_s, lv_o, lane_c, chunk=chunk, nca=nca, hi_c=hi_c,
+        num_landmarks=num_landmarks, n_fs=n_fs, obs_lane=obs_lane,
+    )
+    valid_obs, is_new, ll1, n_assoc = ekf_common.associate(
+        top_ll, top_ix, fs_s, tgt_s, new_s, done_s, vz_ref, obs_lane,
+        num_obs=Z, n_fs=n_fs, log_p0=log_p0,
+    )
+    nmatch_o[:, :] = n_assoc
+
+    if update_weights:
+        dw = jnp.where(is_new, log_p0, ll1)
+        logw_o[:, :] = logw_o[:, :] + jnp.sum(
+            jnp.where(valid_obs, dw, 0.0), axis=1, keepdims=True
+        )
+
+    # ---- pass 4: per-lane sequential composition (collision rounds) ------
+    # Each round, every pending target lane consumes its lowest-index
+    # pending observation and applies the EKF update (or allocation init)
+    # in plane space.  One round suffices unless two observations
+    # associated to the same landmark.
+    def round_body(_m, _):
+        pending = (done_s[:, :] < 0.5).astype(jnp.float32)
+        any_pending = jnp.max(pending) > 0.0
+
+        @pl.when(any_pending)
+        def _():
+            def chunk_body(c, _):
+                sl = pl.ds(c * chunk, chunk)
+                lanes_f = (lane_c + c * chunk).astype(jnp.float32)
+                already = jnp.zeros((P, chunk), jnp.bool_)
+                zr_b = jnp.zeros((P, chunk), jnp.float32)
+                zphi_b = jnp.zeros((P, chunk), jnp.float32)
+                sig_b = [jnp.zeros((P, chunk), jnp.float32) for _ in range(S)]
+                isnew_b = jnp.zeros((P, chunk), jnp.float32)
+
+                for i in range(Z):
+                    hit = (
+                        (tgt_s[:, i : i + 1] == lanes_f)
+                        & (done_s[:, i : i + 1] < 0.5)
+                        & ~already
+                    )
+                    already = already | hit
+                    zr_b = jnp.where(hit, z_ref[i, 0], zr_b)
+                    zphi_b = jnp.where(hit, z_ref[i, 1], zphi_b)
+                    for s in range(S):
+                        sig_b[s] = jnp.where(hit, sig_ref[i, s], sig_b[s])
+                    isnew_b = jnp.where(hit, new_s[:, i : i + 1], isnew_b)
+                    # obs i is consumed this round iff any lane took it
+                    took = jnp.max(
+                        hit.astype(jnp.float32), axis=1, keepdims=True
+                    )
+                    done_s[:, i : i + 1] = jnp.maximum(
+                        done_s[:, i : i + 1], took
+                    )
+
+                upd_m = already & (isnew_b < 0.5)
+                alloc_m = already & (isnew_b > 0.5)
+
+                # --- EKF update at matched lanes (same op order as the XLA
+                # twin's narrow-space update: bit-exact parity) ------------
+                mx = mx_o[:, sl]
+                my = my_o[:, sl]
+                sxx, sxy, syy = cxx_o[:, sl], cxy_o[:, sl], cyy_o[:, sl]
+                dx = mx - px
+                dy = my - py
+                q = dx * dx + dy * dy + 1e-12
+                r = jnp.sqrt(q)
+                h11 = dx / r
+                h12 = dy / r
+                h21 = -dy / q
+                h22 = dx / q
+                a11 = h11 * sxx + h12 * sxy
+                a12 = h11 * sxy + h12 * syy
+                a21 = h21 * sxx + h22 * sxy
+                a22 = h21 * sxy + h22 * syy
+                q11 = a11 * h11 + a12 * h12 + r11
+                q12 = a11 * h21 + a12 * h22
+                q22 = a21 * h21 + a22 * h22 + r22
+                det = jnp.maximum(q11 * q22 - q12 * q12, 1e-12)
+                qi11 = q22 / det
+                qi12 = -q12 / det
+                qi22 = q11 / det
+                nu1 = zr_b - r
+                nu2 = _wrap(zphi_b - (_atan2(dy, dx) - pth))
+                b11 = sxx * h11 + sxy * h12
+                b12 = sxx * h21 + sxy * h22
+                b21 = sxy * h11 + syy * h12
+                b22 = sxy * h21 + syy * h22
+                k11 = b11 * qi11 + b12 * qi12
+                k12 = b11 * qi12 + b12 * qi22
+                k21 = b21 * qi11 + b22 * qi12
+                k22 = b21 * qi12 + b22 * qi22
+                mx_u = mx + k11 * nu1 + k12 * nu2
+                my_u = my + k21 * nu1 + k22 * nu2
+                i11 = 1.0 - (k11 * h11 + k12 * h21)
+                i12 = -(k11 * h12 + k12 * h22)
+                i21 = -(k21 * h11 + k22 * h21)
+                i22 = 1.0 - (k21 * h12 + k22 * h22)
+                cxx_u = i11 * sxx + i12 * sxy
+                cxy_u = 0.5 * ((i11 * sxy + i12 * syy) + (i21 * sxx + i22 * sxy))
+                cyy_u = i21 * sxy + i22 * syy
+
+                # --- allocation init at alloc lanes ------------------------
+                ang = pth + zphi_b
+                ca = jnp.cos(ang)
+                sa = jnp.sin(ang)
+                nx = px + zr_b * ca
+                ny = py + zr_b * sa
+                zr2 = zr_b * zr_b
+                n_cxx = init_infl * (r11 * ca * ca + r22 * zr2 * sa * sa)
+                n_cxy = init_infl * ((r11 - r22 * zr2) * ca * sa)
+                n_cyy = init_infl * (r11 * sa * sa + r22 * zr2 * ca * ca)
+
+                mx_o[:, sl] = jnp.where(upd_m, mx_u, jnp.where(alloc_m, nx, mx))
+                my_o[:, sl] = jnp.where(upd_m, my_u, jnp.where(alloc_m, ny, my))
+                cxx_o[:, sl] = jnp.where(
+                    upd_m, cxx_u, jnp.where(alloc_m, n_cxx, sxx)
+                )
+                cxy_o[:, sl] = jnp.where(
+                    upd_m, cxy_u, jnp.where(alloc_m, n_cxy, sxy)
+                )
+                cyy_o[:, sl] = jnp.where(
+                    upd_m, cyy_u, jnp.where(alloc_m, n_cyy, syy)
+                )
+                lc_old = lc_o[:, sl]
+                lc_new = jnp.where(
+                    upd_m, lc_old + 2.0, jnp.where(alloc_m, 1.0, lc_old)
+                )
+                lc_o[:, sl] = lc_new
+                if S:
+                    cnt = jnp.maximum(lc_new, 1.0)
+                    for s in range(S):
+                        so = sig_out[s][:, sl]
+                        sig_u = so + (sig_b[s] - so) / cnt
+                        sig_out[s][:, sl] = jnp.where(
+                            upd_m, sig_u, jnp.where(alloc_m, sig_b[s], so)
+                        )
+                lv_o[:, sl] = jnp.where(alloc_m, 1.0, lv_o[:, sl])
+                matched_s[:, sl] = jnp.where(
+                    already, 1.0, matched_s[:, sl]
+                )
+                return 0
+
+            jax.lax.fori_loop(0, ncw, chunk_body, 0, unroll=False)
+
+        return 0
+
+    # Z rounds worst-case; rounds after the last pending obs are skipped at
+    # runtime by the pl.when predicate (zero plane work).
+    jax.lax.fori_loop(0, Z, round_body, 0)
+
+    # ---- culling (active chunks only; virgin lanes are invalid) ----------
     if cull:
         def cull_chunk(c, _):
             sl = pl.ds(c * chunk, chunk)
-            # cached range/bearing are refreshed on every mutation, so they
-            # equal a fresh recompute at the current means bit-for-bit
-            r = r_s[:, sl]
-            phi = _wrap(th_s[:, sl])
+            dx = mx_o[:, sl] - px
+            dy = my_o[:, sl] - py
+            r = jnp.sqrt(dx * dx + dy * dy + 1e-12)
+            phi = _wrap(_atan2(dy, dx) - pth)
             in_fov = (r < max_range) & (jnp.abs(phi) < fov_half)
             lv = lv_o[:, sl]
             dec = (
@@ -350,7 +382,7 @@ def _kernel(
             lv_o[:, sl] = jnp.where((lv > 0) & (lc >= 0.0), 1.0, 0.0)
             return 0
 
-        jax.lax.fori_loop(0, NC, cull_chunk, 0)
+        jax.lax.fori_loop(0, ncw, cull_chunk, 0, unroll=False)
 
 
 def _round_up(x, m):
@@ -415,28 +447,32 @@ def measurement_update_2d(
     vz = valid.astype(jnp.int32)
 
     n_aliased = 6 + sig_dim + 2  # logw, 5 geom planes, sigs, valid, count
+
+    # chunk MUST divide Lp (the landmark axis is tiled in exact chunks).
+    chunk = next(
+        c for c in (2048, 1024, 512, 384, 256, 128) if Lp % c == 0
+    ) if Lp > 2048 else Lp
+
+    # Active high-watermark: number of leading chunks that contain any
+    # ever-allocated lane.  Allocation is first-free-slot, so all valid
+    # lanes live below the watermark; the kernel's dynamic trip counts
+    # skip everything above it.
+    hi_lane = jnp.max(
+        jnp.where(lm_valid, jnp.arange(L, dtype=jnp.int32)[None, :], -1)
+    )
+    nca = jnp.clip((hi_lane + chunk) // chunk, 0, Lp // chunk).astype(jnp.int32)
+
     out_shape = (
         [jax.ShapeDtypeStruct((P, 1), jnp.float32)]
         + [jax.ShapeDtypeStruct((P, Lp), jnp.float32)] * (5 + sig_dim + 2)
         + [jax.ShapeDtypeStruct((P, 1), jnp.float32)]  # n_match (not aliased)
     )
 
-    # Particle-axis tiling: in+out plane blocks are double-buffered by the
-    # pipeline, plus the ll/matched scratch planes — keep it under ~12 MB.
     n_planes = 7 + sig_dim
-    # chunk MUST divide Lp (NC = Lp // chunk; a remainder leaves lanes
-    # unscored and stale ll scratch wins the association argmax).
-    chunk = next(
-        c for c in (2048, 1024, 512, 384, 256, 128) if Lp % c == 0
-    ) if Lp > 2048 else Lp
+    Zp = _round_up(max(Z, 128), 128)
     budget = 12 * 1024 * 1024
-    # in+out x2buf + ll/matched scratch + 7-plane likelihood cache
-    per_particle = (2 * 2 * n_planes * Lp + (2 + 7) * Lp) * 4
-    # Largest divisor of P within the VMEM budget. Mosaic requires the
-    # particle (sublane) block dim to be a multiple of 8 OR equal to P; when
-    # even the smallest legal tile exceeds the default 16M scoped-vmem
-    # window, raise the kernel's vmem limit to what the tile actually needs
-    # instead of failing (see the matching comment in ekf_update_3d.py).
+    # in+out x2buf + 6 cache planes + matched plane
+    per_particle = (2 * 2 * n_planes * Lp + 7 * Lp) * 4
     cands = [d for d in range(1, P + 1) if P % d == 0 and (d % 8 == 0 or d == P)]
     fits = [d for d in cands if d * per_particle <= budget]
     Pt = max(fits) if fits else min(cands)
@@ -450,18 +486,16 @@ def measurement_update_2d(
     row = lambda w: pl.BlockSpec((Pt, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     plane = lambda: row(Lp)
     in_specs = (
-        [smem(), smem(), smem()]
+        [smem(), smem(), smem(), smem()]
         + [row(pose_in.shape[1]), row(1)]
         + [plane()] * (5 + sig_dim + 2)
     )
     out_specs = tuple([row(1)] + [plane()] * (5 + sig_dim + 2) + [row(1)])
-    scratch = [
-        pltpu.VMEM((Pt, Lp), jnp.float32),  # ll
-        pltpu.VMEM((Pt, Lp), jnp.float32),  # matched
-    ] + [
-        pltpu.VMEM((Pt, Lp), jnp.float32)   # r/th/Q/det/logdet cache
-        for _ in range(7)
-    ]
+    scratch = (
+        [pltpu.VMEM((Pt, Lp), jnp.float32) for _ in range(6)]   # score cache
+        + [pltpu.VMEM((Pt, Zp), jnp.float32) for _ in range(6)]  # narrow
+        + [pltpu.VMEM((Pt, Lp), jnp.float32)]                    # matched
+    )
 
     kernel = functools.partial(
         _kernel_entry,
@@ -479,8 +513,8 @@ def measurement_update_2d(
         update_weights=update_weights,
     )
 
-    # Alias the big planes in-place: inputs [4=logw, 5..] -> outputs [0..].
-    aliases = {4 + i: i for i in range(n_aliased)}
+    # Alias the big planes in-place: inputs [5=logw, 6..] -> outputs [0..].
+    aliases = {5 + i: i for i in range(n_aliased)}
 
     results = pl.pallas_call(
         kernel,
@@ -492,7 +526,7 @@ def measurement_update_2d(
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
-    )(z_in, sig_in, vz, pose_in, logw2, *planes, *sig_planes, lv, lc)
+    )(z_in, sig_in, vz, nca[None], pose_in, logw2, *planes, *sig_planes, lv, lc)
 
     logw_n = results[0][:, 0]
     mx, my, cxx, cxy, cyy = results[1:6]
@@ -524,9 +558,9 @@ def measurement_update_2d(
     )
 
 
-def _kernel_entry(z_ref, sig_ref, vz_ref, pose_ref, logw_ref,
+def _kernel_entry(z_ref, sig_ref, vz_ref, hi_ref, pose_ref, logw_ref,
                   mx, my, cxx, cxy, cyy, *rest, sig_dim, **kw):
     _kernel(
-        z_ref, sig_ref, vz_ref, pose_ref, logw_ref,
+        z_ref, sig_ref, vz_ref, hi_ref, pose_ref, logw_ref,
         mx, my, cxx, cxy, cyy, rest, sig_dim=sig_dim, **kw,
     )

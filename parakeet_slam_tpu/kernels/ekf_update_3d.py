@@ -22,11 +22,12 @@ of planes and unrolled at trace time — the same code path serves the
 [Pt, chunk] likelihood sweep and the [Pt, 1] per-particle update, and
 Dz in {2, 3} is a static parameter.
 
-Association and allocation follow the 2-D kernel exactly: running-best over
-landmark chunks, explicit first-match lane-min (Mosaic argmax tie-breaking
-differs from interpret mode), padded lanes never associated or allocated.
-Semantics match `filter/fastslam.py::_process_observation` (parity-tested
-in tests/test_ekf3d_kernel.py).
+Association and allocation follow the 2-D kernel exactly (v2 batched
+semantics — see kernels/ekf_update.py: parallel pre-frame association,
+per-lane sequential composition in collision rounds, free slots assigned
+in observation order, landmark-axis chunk loops bounded by the live map's
+high-watermark). Semantics match `filter/fastslam.py::measurement_core`
+(parity-tested in tests/test_ekf3d_kernel.py).
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from parakeet_slam_tpu.kernels import mathx
+from parakeet_slam_tpu.kernels import ekf_common, mathx
 
 _NEG_INF = -1e30
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -290,9 +291,29 @@ def _predict_qi(model, m, S, R, t, par, r_var, Dz):
     return zhat, Qi, jnp.log(det)
 
 
+def _model_zhat(model, p, par):
+    """Prediction only (no Jacobian) — cull pass / cheap in-FOV checks."""
+    if model in ("pinhole_3d", "stereo_3d"):
+        fx, fy, cx, cy = par["fx"], par["fy"], par["cx"], par["cy"]
+        z = jnp.maximum(p[2], _MIN_DEPTH)
+        iz = 1.0 / z
+        zhat = [fx * p[0] * iz + cx, fy * p[1] * iz + cy]
+        if model == "stereo_3d":
+            zhat.append(par["fx"] * par["baseline"] * iz)
+        return zhat
+    W_img, H_img = par["img_w"], par["img_h"]
+    x, y, z = p
+    rho2 = x * x + y * y + 1e-9
+    rho = jnp.sqrt(rho2)
+    az = _atan2(y, x)
+    el = _atan2(z, rho)
+    return [(az + math.pi) * (W_img / (2.0 * math.pi)),
+            (math.pi / 2.0 - el) * (H_img / math.pi)]
+
+
 def _kernel(
-    z_ref, dz_ref, vz_ref,       # SMEM: [Z, Dz] f32, [Z, W] i32, [Z] i32
-    cam_ref, logw_ref,           # VMEM rows: [Pt, 12], [Pt, 1]
+    z_ref, dz_ref, vz_ref, hi_ref,   # SMEM: [Z, Dz] f32, [Z, W] i32, [Z] i32, [1] i32
+    cam_ref, logw_ref,               # VMEM rows: [Pt, 12], [Pt, 1]
     refs,
     *,
     model: str,
@@ -324,22 +345,21 @@ def _kernel(
     desc_o = out[10 : 10 + W]
     lv_o, lc_o = out[10 + W], out[11 + W]
     nmatch_o = out[12 + W]
-    ll_s, matched_s = out[13 + W], out[14 + W]  # VMEM scratch refs
-    # Likelihood cache: zhat/Qinv/logdet per landmark, filled once per
-    # frame and refreshed per-lane after EKF updates/allocations — the
-    # per-observation sweep then costs residual+quadratic-form+hamming
-    # instead of the full H/Q/inverse chain (~4x fewer VPU flops).
+    scratch = out[13 + W :]
     NQ = (Dz * (Dz + 1)) // 2
-    cache = out[15 + W :]
-    zh_s = cache[:Dz]
-    qi_s = cache[Dz : Dz + NQ]
-    ld_s = cache[Dz + NQ]
+    n_cache = Dz + NQ + 1
+    zh_s = scratch[:Dz]
+    qi_s = scratch[Dz : Dz + NQ]
+    ld_s = scratch[Dz + NQ]
+    top_ll, top_ix, fs_s, tgt_s, new_s, done_s = scratch[n_cache : n_cache + 6]
+    matched_s = scratch[n_cache + 6]
+    lastj_s = scratch[n_cache + 7]
     UT = _ut_idx(Dz)
 
     P, L = mean_o[0].shape
-    NC = L // chunk
+    Z = num_obs
 
-    # ---- init: copy state into aliased outputs --------------------------
+    # ---- init: copy state into aliased outputs ---------------------------
     logw_o[:, :] = logw_ref[:, :]
     for k in range(3):
         mean_o[k][:, :] = mean_in[k][:, :]
@@ -351,18 +371,23 @@ def _kernel(
     lc_o[:, :] = lc_ref[:, :]
     nmatch_o[:, :] = jnp.zeros((P, 1), jnp.float32)
     matched_s[:, :] = jnp.zeros((P, L), jnp.float32)
+    lastj_s[:, :] = jnp.full((P, L), -1.0, jnp.float32)
+    top_ll[:, :] = jnp.full(top_ll.shape, _NEG_INF, jnp.float32)
+    top_ix[:, :] = jnp.zeros(top_ix.shape, jnp.float32)
 
     R = [[cam_ref[:, 3 * i + j : 3 * i + j + 1] for j in range(3)]
          for i in range(3)]
     Rt = _transpose(R)
     t = [cam_ref[:, 9 + k : 10 + k] for k in range(3)]
 
-    lane_f = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
-    real_f = lane_f < num_landmarks
-    BIG_LANE = jnp.int32(2**30)
+    obs_lane = jax.lax.broadcasted_iota(jnp.int32, top_ll.shape, 1)
 
-    # ---- pass 0: fill the likelihood cache, chunked over landmarks -------
+    nca = hi_ref[0]
+    hi_c = nca * chunk
+    ncw = jnp.minimum(nca + 1, L // chunk)
+
+    # ---- pass 0: scoring cache over active chunks ------------------------
     def cache_chunk(c, _):
         sl = pl.ds(c * chunk, chunk)
         m = [mean_o[k][:, sl] for k in range(3)]
@@ -374,161 +399,182 @@ def _kernel(
         for a in range(Dz):
             for b in range(a, Dz):
                 qi_s[UT[(a, b)]][:, sl] = Qi[a][b]
-        ld_s[:, sl] = ld
+        ok = (lv_o[:, sl] > 0) & ((lane_c + c * chunk) < num_landmarks)
+        ld_s[:, sl] = jnp.where(ok, ld, -2.0 * _NEG_INF)  # +2e30 sinks invalid ll
         return 0
 
-    jax.lax.fori_loop(0, NC, cache_chunk, 0)
+    jax.lax.fori_loop(0, nca, cache_chunk, 0, unroll=False)
 
-    def obs_body(i, _):
-        zobs = [z_ref[i, k] for k in range(Dz)]
-        ovalid = vz_ref[i] > 0
+    # ---- pass 1: score every obs against the pre-frame map ---------------
+    def score_chunk(c, _):
+        sl = pl.ds(c * chunk, chunk)
+        zhat = [zh_s[k][:, sl] for k in range(Dz)]
+        Qi = [[qi_s[UT[(a, b)]][:, sl] for b in range(Dz)]
+              for a in range(Dz)]
+        ld = ld_s[:, sl]
+        lanes = lane_c + c * chunk
 
-        # ---- pass A: likelihood sweep over the cache ---------------------
-        def ll_chunk(c, _):
-            sl = pl.ds(c * chunk, chunk)
-            zhat = [zh_s[k][:, sl] for k in range(Dz)]
-            Qi = [[qi_s[UT[(a, b)]][:, sl] for b in range(Dz)]
-                  for a in range(Dz)]
+        for i in range(Z):
+            zobs = [z_ref[i, k] for k in range(Dz)]
             nu = _model_residual(model, zobs, zhat, par)
-            # clamp: indefinite Q (fp-drifted cov) must lose the argmax, not
-            # win it with a sign-flipped "negative distance"
             maha = jnp.maximum(
-                sum(
-                    nu[a] * Qi[a][b] * nu[b]
-                    for a in range(Dz) for b in range(Dz)
-                ),
+                sum(nu[a] * Qi[a][b] * nu[b]
+                    for a in range(Dz) for b in range(Dz)),
                 0.0,
             )
-            ll = -0.5 * (maha + ld_s[:, sl] + Dz * _LOG_2PI)
+            ll = -0.5 * (maha + ld + Dz * _LOG_2PI)
             if W > 0:
                 ham = jnp.zeros_like(ll)
                 for w in range(W):
                     x = jnp.bitwise_xor(desc_o[w][:, sl], dz_ref[i, w])
                     ham = ham + jax.lax.population_count(x).astype(jnp.float32)
                 ll = ll - desc_weight * ham
-            ok = (lv_o[:, sl] > 0) & ((lane_c + c * chunk) < num_landmarks)
-            ll_s[:, sl] = jnp.where(ok, ll, _NEG_INF)
-            return 0
-
-        jax.lax.fori_loop(0, NC, ll_chunk, 0)
-
-        # ---- association -------------------------------------------------
-        best_ll = jnp.max(ll_s[:, :], axis=1, keepdims=True)
-        best_idx = jnp.min(
-            jnp.where(ll_s[:, :] == best_ll, lane_f, BIG_LANE),
-            axis=1, keepdims=True,
-        )
-        onehot = (lane_f == best_idx).astype(jnp.float32)
-        any_valid = best_ll > _NEG_INF / 2
-        is_new = (best_ll < log_p0) | ~any_valid
-        do_upd = ~is_new & ovalid
-
-        # ---- gather associated landmark ----------------------------------
-        def pick(plane):
-            return jnp.sum(plane[:, :] * onehot, axis=1, keepdims=True)
-
-        m_b = [pick(mean_o[k]) for k in range(3)]
-        c_b6 = [pick(cov_o[k]) for k in range(6)]
-        S = [[c_b6[_COV_IDX[(a, b)]] for b in range(3)] for a in range(3)]
-
-        # ---- EKF update in [P, 1] space ----------------------------------
-        p = _cam_point(R, t, m_b)
-        zhat, H = _model_hH(model, p, R, par)
-        nu = _model_residual(model, zobs, zhat, par)
-        HS = _matmul(H, S)                       # [Dz][3]
-        Q = _matmul(HS, _transpose(H))
-        for k in range(Dz):
-            Q[k][k] = Q[k][k] + r_var[k]
-        Qi, _ = _sym_inv_det(Q)
-        SHt = _transpose(HS)                     # S Ht  [3][Dz]
-        K = _matmul(SHt, Qi)                     # [3][Dz]
-        m_u = [m_b[k] + sum(K[k][a] * nu[a] for a in range(Dz))
-               for k in range(3)]
-        KH = _matmul(K, H)                       # [3][3]
-        IKH = [[(1.0 if a == b else 0.0) - KH[a][b] for b in range(3)]
-               for a in range(3)]
-        Snew = _matmul(IKH, S)
-        c_u6 = [
-            0.5 * (Snew[0][0] + Snew[0][0]),
-            0.5 * (Snew[0][1] + Snew[1][0]),
-            0.5 * (Snew[0][2] + Snew[2][0]),
-            0.5 * (Snew[1][1] + Snew[1][1]),
-            0.5 * (Snew[1][2] + Snew[2][1]),
-            0.5 * (Snew[2][2] + Snew[2][2]),
-        ]
-
-        # ---- allocation (first free real slot) ---------------------------
-        free_idx = jnp.min(
-            jnp.where((lv_o[:, :] < 0.5) & real_f, lane_f, BIG_LANE),
-            axis=1, keepdims=True,
-        )
-        has_free = free_idx < BIG_LANE
-        do_alloc = is_new & has_free & ovalid
-        m_n, c_n6 = _model_init(
-            model, zobs, R, Rt, t, par, r_var, init_infl,
-            init_range_prior, init_range_sigma,
-        )
-
-        # ---- scatter back ------------------------------------------------
-        upd_m = (lane_f == best_idx) & do_upd
-        alloc_m = (lane_f == free_idx) & do_alloc
-        for k in range(3):
-            mean_o[k][:, :] = jnp.where(
-                upd_m, m_u[k], jnp.where(alloc_m, m_n[k], mean_o[k][:, :])
+            t1 = jnp.max(ll, axis=1, keepdims=True)
+            i1 = jnp.min(
+                jnp.where(ll == t1, lanes, 2**30), axis=1, keepdims=True
             )
-        for k in range(6):
-            cov_o[k][:, :] = jnp.where(
-                upd_m, c_u6[k], jnp.where(alloc_m, c_n6[k], cov_o[k][:, :])
+            old = top_ll[:, i : i + 1]
+            better = t1 > old
+            top_ll[:, i : i + 1] = jnp.where(better, t1, old)
+            top_ix[:, i : i + 1] = jnp.where(
+                better, i1.astype(jnp.float32), top_ix[:, i : i + 1]
             )
-        touched = upd_m | alloc_m
-        for w in range(W):
-            desc_o[w][:, :] = jnp.where(
-                touched, dz_ref[i, w], desc_o[w][:, :]
-            )
-        lc_o[:, :] = jnp.where(
-            upd_m, lc_o[:, :] + 2.0, jnp.where(alloc_m, 1.0, lc_o[:, :])
-        )
-        lv_o[:, :] = jnp.where(alloc_m, 1.0, lv_o[:, :])
-
-        # ---- refresh the likelihood cache at the touched lane ------------
-        # Recompute zhat/Qinv/logdet at the NEW landmark state in [P, 1]
-        # space (same unrolled ops as the chunked fill, so later
-        # observations score this lane bit-identically to a fresh sweep).
-        m_sel = [jnp.where(do_upd, m_u[k], m_n[k]) for k in range(3)]
-        c_sel = [jnp.where(do_upd, c_u6[k], c_n6[k]) for k in range(6)]
-        S_sel = [[c_sel[_COV_IDX[(a, b)]] for b in range(3)] for a in range(3)]
-        zhat2, Qi2, ld2 = _predict_qi(
-            model, m_sel, S_sel, R, t, par, r_var, Dz
-        )
-        for k in range(Dz):
-            zh_s[k][:, :] = jnp.where(touched, zhat2[k], zh_s[k][:, :])
-        for a in range(Dz):
-            for b in range(a, Dz):
-                ix = UT[(a, b)]
-                qi_s[ix][:, :] = jnp.where(touched, Qi2[a][b], qi_s[ix][:, :])
-        ld_s[:, :] = jnp.where(touched, ld2, ld_s[:, :])
-
-        # ---- weights / bookkeeping --------------------------------------
-        # update_weights=False: FastSLAM 2.0 map pass (weights applied in
-        # the proposal stage, filter/fastslam2.py).
-        if update_weights:
-            dw = jnp.where(is_new, log_p0, best_ll)
-            logw_o[:, :] = logw_o[:, :] + jnp.where(ovalid, dw, 0.0)
-        matched_s[:, :] = jnp.where(touched, 1.0, matched_s[:, :])
-        nmatch_o[:, :] = nmatch_o[:, :] + jnp.max(
-            jnp.where(touched, 1.0, 0.0), axis=1, keepdims=True
-        )
         return 0
 
-    jax.lax.fori_loop(0, num_obs, obs_body, 0)
+    jax.lax.fori_loop(0, nca, score_chunk, 0, unroll=False)
 
-    # ---- culling ---------------------------------------------------------
+    # ---- pass 2+3: free slots + vectorized association -------------------
+    n_fs = min(Z, 64)
+    ekf_common.fill_free_slots(
+        fs_s, lv_o, lane_c, chunk=chunk, nca=nca, hi_c=hi_c,
+        num_landmarks=num_landmarks, n_fs=n_fs, obs_lane=obs_lane,
+    )
+    valid_obs, is_new, ll1, n_assoc = ekf_common.associate(
+        top_ll, top_ix, fs_s, tgt_s, new_s, done_s, vz_ref, obs_lane,
+        num_obs=Z, n_fs=n_fs, log_p0=log_p0,
+    )
+    nmatch_o[:, :] = n_assoc
+    if update_weights:
+        dw = jnp.where(is_new, log_p0, ll1)
+        logw_o[:, :] = logw_o[:, :] + jnp.sum(
+            jnp.where(valid_obs, dw, 0.0), axis=1, keepdims=True
+        )
+
+    # ---- pass 4: per-lane sequential composition (collision rounds) ------
+    def round_body(_m, _):
+        pending = (done_s[:, :] < 0.5).astype(jnp.float32)
+        any_pending = jnp.max(pending) > 0.0
+
+        @pl.when(any_pending)
+        def _():
+            def chunk_body(c, _):
+                sl = pl.ds(c * chunk, chunk)
+                lanes_f = (lane_c + c * chunk).astype(jnp.float32)
+                already = jnp.zeros((P, chunk), jnp.bool_)
+                z_b = [jnp.zeros((P, chunk), jnp.float32) for _ in range(Dz)]
+                isnew_b = jnp.zeros((P, chunk), jnp.float32)
+
+                for i in range(Z):
+                    hit = (
+                        (tgt_s[:, i : i + 1] == lanes_f)
+                        & (done_s[:, i : i + 1] < 0.5)
+                        & ~already
+                    )
+                    already = already | hit
+                    for k in range(Dz):
+                        z_b[k] = jnp.where(hit, z_ref[i, k], z_b[k])
+                    isnew_b = jnp.where(hit, new_s[:, i : i + 1], isnew_b)
+                    lastj_s[:, sl] = jnp.where(hit, float(i), lastj_s[:, sl])
+                    took = jnp.max(
+                        hit.astype(jnp.float32), axis=1, keepdims=True
+                    )
+                    done_s[:, i : i + 1] = jnp.maximum(
+                        done_s[:, i : i + 1], took
+                    )
+
+                upd_m = already & (isnew_b < 0.5)
+                alloc_m = already & (isnew_b > 0.5)
+
+                # --- EKF update at matched lanes (same op order as v1) ----
+                m_b = [mean_o[k][:, sl] for k in range(3)]
+                S = [[cov_o[_COV_IDX[(a, b)]][:, sl] for b in range(3)]
+                     for a in range(3)]
+                p = _cam_point(R, t, m_b)
+                zhat, H = _model_hH(model, p, R, par)
+                nu = _model_residual(model, z_b, zhat, par)
+                HS = _matmul(H, S)
+                Q = _matmul(HS, _transpose(H))
+                for k in range(Dz):
+                    Q[k][k] = Q[k][k] + r_var[k]
+                Qi, _ = _sym_inv_det(Q)
+                SHt = _transpose(HS)
+                K = _matmul(SHt, Qi)
+                m_u = [m_b[k] + sum(K[k][a] * nu[a] for a in range(Dz))
+                       for k in range(3)]
+                KH = _matmul(K, H)
+                IKH = [[(1.0 if a == b else 0.0) - KH[a][b] for b in range(3)]
+                       for a in range(3)]
+                Snew = _matmul(IKH, S)
+                c_u6 = [
+                    0.5 * (Snew[0][0] + Snew[0][0]),
+                    0.5 * (Snew[0][1] + Snew[1][0]),
+                    0.5 * (Snew[0][2] + Snew[2][0]),
+                    0.5 * (Snew[1][1] + Snew[1][1]),
+                    0.5 * (Snew[1][2] + Snew[2][1]),
+                    0.5 * (Snew[2][2] + Snew[2][2]),
+                ]
+
+                # --- allocation init at alloc lanes -----------------------
+                m_n, c_n6 = _model_init(
+                    model, z_b, R, Rt, t, par, r_var, init_infl,
+                    init_range_prior, init_range_sigma,
+                )
+
+                for k in range(3):
+                    mean_o[k][:, sl] = jnp.where(
+                        upd_m, m_u[k], jnp.where(alloc_m, m_n[k], m_b[k])
+                    )
+                for k in range(6):
+                    cov_o[k][:, sl] = jnp.where(
+                        upd_m, c_u6[k],
+                        jnp.where(alloc_m, c_n6[k], cov_o[k][:, sl]),
+                    )
+                lc_old = lc_o[:, sl]
+                lc_o[:, sl] = jnp.where(
+                    upd_m, lc_old + 2.0, jnp.where(alloc_m, 1.0, lc_old)
+                )
+                lv_o[:, sl] = jnp.where(alloc_m, 1.0, lv_o[:, sl])
+                matched_s[:, sl] = jnp.where(already, 1.0, matched_s[:, sl])
+                return 0
+
+            jax.lax.fori_loop(0, ncw, chunk_body, 0, unroll=False)
+
+        return 0
+
+    jax.lax.fori_loop(0, Z, round_body, 0)
+
+    # ---- pass 5: latest-wins descriptor refresh at touched lanes ---------
+    if W > 0:
+        def desc_chunk(c, _):
+            sl = pl.ds(c * chunk, chunk)
+            lj = lastj_s[:, sl]
+            for i in range(Z):
+                m = lj == float(i)
+                for w in range(W):
+                    desc_o[w][:, sl] = jnp.where(
+                        m, dz_ref[i, w], desc_o[w][:, sl]
+                    )
+            return 0
+
+        jax.lax.fori_loop(0, ncw, desc_chunk, 0, unroll=False)
+
+    # ---- culling (active chunks only) -------------------------------------
     if cull:
         def cull_chunk(c, _):
             sl = pl.ds(c * chunk, chunk)
             m = [mean_o[k][:, sl] for k in range(3)]
             p = _cam_point(R, t, m)
-            zhat = [zh_s[k][:, sl] for k in range(Dz)]
+            zhat = _model_zhat(model, p, par)
             in_fov = _model_in_fov(model, p, zhat, par, max_range)
             lv = lv_o[:, sl]
             dec = (
@@ -542,7 +588,7 @@ def _kernel(
             lv_o[:, sl] = jnp.where((lv > 0) & (lc >= 0.0), 1.0, 0.0)
             return 0
 
-        jax.lax.fori_loop(0, NC, cull_chunk, 0)
+        jax.lax.fori_loop(0, ncw, cull_chunk, 0, unroll=False)
 
 
 def _round_up(x, m):
@@ -629,21 +675,22 @@ def measurement_update_3d(
     )
 
     n_planes = 11 + W
-    # chunk MUST divide Lp: NC = Lp // chunk tiles the landmark axis, and a
-    # remainder would leave lanes unscored (stale ll scratch wins argmax).
-    # Lp is a multiple of 128, so 128 always qualifies.
+    # chunk MUST divide Lp (the landmark axis is tiled in exact chunks).
     chunk = next(
         c for c in (1024, 512, 384, 256, 128) if Lp % c == 0
     ) if Lp > 1024 else Lp
+
+    # Active high-watermark (see kernels/ekf_update.py): leading chunks
+    # that contain any ever-allocated lane.
+    hi_lane = jnp.max(
+        jnp.where(lm_valid, jnp.arange(L, dtype=jnp.int32)[None, :], -1)
+    )
+    nca = jnp.clip((hi_lane + chunk) // chunk, 0, Lp // chunk).astype(jnp.int32)
+
     n_cache = n_cache_planes(Dz)
+    Zp = _round_up(max(Z, 128), 128)
     budget = 12 * 1024 * 1024
-    per_particle = (2 * 2 * n_planes * Lp + (2 + n_cache) * Lp) * 4
-    # Largest divisor of P within the VMEM budget. Mosaic requires the
-    # particle (sublane) block dim to be a multiple of 8 OR equal to P, so
-    # candidate tiles are exactly those; when even the smallest legal tile
-    # exceeds the default 16M scoped-vmem window (panoramic scale:
-    # [P=1024, Lp=8192, W=8] needs 16.5M at Pt=8) we raise the kernel's
-    # vmem limit to what the chosen tile actually needs instead of failing.
+    per_particle = (2 * 2 * n_planes * Lp + (n_cache + 2) * Lp) * 4
     cands = [d for d in range(1, P + 1) if P % d == 0 and (d % 8 == 0 or d == P)]
     fits = [d for d in cands if d * per_particle <= budget]
     Pt = max(fits) if fits else min(cands)
@@ -659,18 +706,16 @@ def measurement_update_3d(
     )
     plane = lambda: row(Lp)
     in_specs = (
-        [smem(), smem(), smem()]
+        [smem(), smem(), smem(), smem()]
         + [row(12), row(1)]
         + [plane()] * (9 + W + 2)
     )
     out_specs = tuple([row(1)] + [plane()] * (9 + W + 2) + [row(1)])
-    scratch = [
-        pltpu.VMEM((Pt, Lp), jnp.float32),  # ll
-        pltpu.VMEM((Pt, Lp), jnp.float32),  # matched
-    ] + [
-        pltpu.VMEM((Pt, Lp), jnp.float32)   # zhat/Qinv/logdet cache
-        for _ in range(n_cache)
-    ]
+    scratch = (
+        [pltpu.VMEM((Pt, Lp), jnp.float32) for _ in range(n_cache)]
+        + [pltpu.VMEM((Pt, Zp), jnp.float32) for _ in range(6)]  # narrow
+        + [pltpu.VMEM((Pt, Lp), jnp.float32) for _ in range(2)]  # matched, lastj
+    )
 
     kernel = functools.partial(
         _kernel_entry,
@@ -692,7 +737,7 @@ def measurement_update_3d(
         update_weights=update_weights,
     )
 
-    aliases = {4 + i: i for i in range(n_aliased)}
+    aliases = {5 + i: i for i in range(n_aliased)}
 
     results = pl.pallas_call(
         kernel,
@@ -704,7 +749,7 @@ def measurement_update_3d(
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
-    )(z_in, dz_in, vz, cam, logw2, *mean_planes, *cov_planes,
+    )(z_in, dz_in, vz, nca[None], cam, logw2, *mean_planes, *cov_planes,
       *desc_planes, lv, lc)
 
     logw_n = results[0][:, 0]
@@ -742,5 +787,5 @@ def measurement_update_3d(
     )
 
 
-def _kernel_entry(z_ref, dz_ref, vz_ref, cam_ref, logw_ref, *rest, **kw):
-    _kernel(z_ref, dz_ref, vz_ref, cam_ref, logw_ref, rest, **kw)
+def _kernel_entry(z_ref, dz_ref, vz_ref, hi_ref, cam_ref, logw_ref, *rest, **kw):
+    _kernel(z_ref, dz_ref, vz_ref, hi_ref, cam_ref, logw_ref, rest, **kw)

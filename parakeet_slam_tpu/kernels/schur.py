@@ -70,7 +70,16 @@ def _kernel(c_ref, u_ref, out_ref, *, eps):
     out_ref[2, :, :] = y2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def cinv_apply(C: jax.Array, u: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Production dispatch for y = C^-1 u: the fused Pallas kernel on TPU,
+    the XLA cofactor twin elsewhere (CPU tests / interpret). This is the op
+    `backend/ba.py` and `dist/dist_ba.py` call inside the PCG matvec."""
+    if jax.devices()[0].platform == "tpu":
+        return apply_cinv(C, u, eps=eps)
+    return apply_cinv_xla(C, u, eps=eps)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "eps"))
 def apply_cinv(
     C: jax.Array, u: jax.Array, eps: float = 1e-12, interpret: bool = False
 ) -> jax.Array:

@@ -50,7 +50,10 @@ def _rand_obs(key, n_valid, n_total, sig_dim):
 class TestKernelParity:
     @pytest.mark.parametrize("frames", [1, 3])
     def test_matches_xla_path(self, frames):
-        cfg = _cfg()
+        """Kernel vs the XLA reference path (`measurement_core` with
+        use_pallas=False) — both implement the v2 batched-association
+        semantics (see kernels/ekf_update.py docstring)."""
+        cfg = _cfg(use_pallas=False)
         slam = FastSLAM(cfg)
         st_x = slam.init_state()
         st_p = slam.init_state()
@@ -63,28 +66,9 @@ class TestKernelParity:
             )
             st_p = st_p.replace(pose=st_x.pose)
 
-            # XLA reference path: scan of _process_observation + cull (no resample)
-            import jax.numpy as jnp2
-
-            matched0 = jnp2.zeros(st_x.lm_valid.shape, bool)
-
-            def scan_body(carry, row):
-                s, m, n = carry
-                s, m, did = slam._process_observation(s, m, row)
-                return (s, m, n + did.astype(jnp2.float32)), None
-
-            (st_x, matched, _), _ = jax.lax.scan(
-                scan_body,
-                (st_x, matched0, jnp2.zeros(cfg.num_particles)),
-                (obs.z, obs.sig, obs.desc, obs.valid),
-            )
-            fov_fn = jax.vmap(
-                jax.vmap(slam.model.in_fov, in_axes=(None, 0)), in_axes=(0, 0)
-            )
-            in_fov = fov_fn(st_x.pose, st_x.lm_mean)
-            dec = st_x.lm_valid & in_fov & ~matched
-            cnt = st_x.lm_count - dec.astype(jnp2.int32)
-            st_x = st_x.replace(lm_count=cnt, lm_valid=st_x.lm_valid & (cnt >= 0))
+            # XLA reference path: measurement_core (association + EKF + cull,
+            # no resample)
+            st_x, _ = slam.measurement_core(st_x, obs)
 
             # Pallas path
             logw, mean, cov, sig, valid, count, _ = _kernel_call(cfg, st_p, obs)
