@@ -24,6 +24,8 @@ data-dependent); all dense math runs on device.
 
 from __future__ import annotations
 
+import functools
+import sys as _sys
 from dataclasses import dataclass, field
 
 import jax
@@ -42,6 +44,74 @@ from parakeet_slam_tpu.frontend.describe import describe
 from parakeet_slam_tpu.frontend.detect import detect
 from parakeet_slam_tpu.kernels import match as match_mod
 from parakeet_slam_tpu.utils.metrics_log import MetricsLogger
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "use_pallas"))
+def _batched_kf_match(qd, qv, db, dbv, ratio: float, use_pallas: bool):
+    """Forward+reverse Lowe-ratio matches of one query descriptor set
+    against a stacked keyframe store, vmapped over the keyframe axis.
+
+    qd [F, W] uint32, qv [F] bool, db [K, F, W], dbv [K, F].
+    Returns (fwd [K, F], rev [K, F]) int32 match indices (-1 = none) with
+    per-keyframe semantics identical to matching each keyframe separately —
+    but ONE device dispatch for the whole store instead of a host loop
+    (round-1 review: O(K) sequential dispatches at 2048 keyframes).
+    """
+
+    def fwd1(d, v):
+        idx, _ = match_mod.match(qd, qv, d, v, ratio=ratio, use_pallas=use_pallas)
+        return idx
+
+    def rev1(d, v):
+        idx, _ = match_mod.match(d, v, qd, qv, ratio=ratio, use_pallas=use_pallas)
+        return idx
+
+    return jax.vmap(fwd1)(db, dbv), jax.vmap(rev1)(db, dbv)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "use_pallas", "max_ham"))
+def _assign_point_ids(desc, valid, world, *, cap: int, use_pallas: bool, max_ham: int):
+    """Deduplicate keyframe landmark snapshots into a global point table.
+
+    Scans keyframes in order; each step matches the keyframe's F descriptors
+    against the point store built so far (ONE fused matcher kernel) and
+    allocates store slots for unmatched rows in row order. Replaces the
+    round-1 pure-Python per-observation O(K²F²) host loop with a
+    `lax.scan` of K matcher dispatches.
+
+    desc [K, F, W] uint32, valid [K, F] bool, world [K, F, 3] first-seen
+    world positions. Returns ((store_desc, store_valid, store_pos, count,
+    dropped), pid [K, F] int32) where pid is the per-observation point id
+    (-1 = invalid row or dropped by capacity).
+    """
+    K, F, W = desc.shape
+    top2 = match_mod.hamming_top2 if use_pallas else match_mod.hamming_top2_xla
+
+    def step(carry, inp):
+        sd, sv, sp, cnt, drop = carry
+        d_k, v_k, w_k = inp
+        bi, b1, _ = top2(d_k, sd, sv)
+        matched = v_k & (b1 < max_ham)
+        is_new = v_k & ~matched
+        slot = cnt + jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        ok_new = is_new & (slot < cap)
+        pid = jnp.where(matched, bi, jnp.where(ok_new, slot, -1))
+        widx = jnp.where(ok_new, slot, cap)  # cap = dropped by scatter mode
+        sd = sd.at[widx].set(d_k, mode="drop")
+        sv = sv.at[widx].set(True, mode="drop")
+        sp = sp.at[widx].set(w_k, mode="drop")
+        cnt = jnp.minimum(cnt + jnp.sum(is_new.astype(jnp.int32)), cap)
+        drop = drop + jnp.sum((is_new & ~ok_new).astype(jnp.int32))
+        return (sd, sv, sp, cnt, drop), pid
+
+    carry0 = (
+        jnp.zeros((cap, W), jnp.uint32),
+        jnp.zeros((cap,), bool),
+        jnp.zeros((cap, 3), jnp.float32),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    return jax.lax.scan(step, carry0, (desc, valid, world.astype(jnp.float32)))
 
 
 @dataclass
@@ -73,6 +143,11 @@ class SLAMSystem:
         self.metrics = MetricsLogger(self.cfg.metrics_path or None)
         self.loop_closures: list[tuple[int, int]] = []
         self._frontend_jit = jax.jit(self._frontend, static_argnums=())
+        # Device-resident stacked keyframe descriptor store [capK, F, W] /
+        # [capK, F], grown by doubling so loop closure is one batched match
+        # against the whole history (no per-keyframe host loop).
+        self._kf_desc_dev: jax.Array | None = None
+        self._kf_valid_dev: jax.Array | None = None
 
     # -- frontend ---------------------------------------------------------
 
@@ -128,6 +203,7 @@ class SLAMSystem:
             valid=np.asarray(valid[:F]),
         )
         self.keyframes.append(kf)
+        self._kf_store_append(kf)
         self.graph = graph_mod.add_node(self.graph, jnp.asarray(est_pose))
         if kf.index > 0:
             prev = self.keyframes[kf.index - 1]
@@ -137,43 +213,83 @@ class SLAMSystem:
             self.graph = graph_mod.add_edge(self.graph, kf.index - 1, kf.index, rel)
         return kf
 
+    def _kf_store_append(self, kf: Keyframe):
+        """Write a keyframe's descriptors into the stacked device store,
+        doubling capacity as needed (recompiles of the batched matcher are
+        then O(log K) over a run, not O(K))."""
+        F, W = kf.desc.shape
+        cap = 0 if self._kf_desc_dev is None else self._kf_desc_dev.shape[0]
+        if kf.index + 1 > cap:
+            new_cap = 64 if cap == 0 else cap * 2
+            while new_cap < kf.index + 1:
+                new_cap *= 2
+            desc = jnp.zeros((new_cap, F, W), jnp.uint32)
+            val = jnp.zeros((new_cap, F), bool)
+            if cap:
+                desc = desc.at[:cap].set(self._kf_desc_dev)
+                val = val.at[:cap].set(self._kf_valid_dev)
+            self._kf_desc_dev, self._kf_valid_dev = desc, val
+        self._kf_desc_dev = self._kf_desc_dev.at[kf.index].set(
+            jnp.asarray(kf.desc)
+        )
+        self._kf_valid_dev = self._kf_valid_dev.at[kf.index].set(
+            jnp.asarray(kf.valid)
+        )
+
+    def _rebuild_kf_store(self):
+        self._kf_desc_dev = self._kf_valid_dev = None
+        if not self.keyframes:
+            return
+        # bulk upload once (checkpoint restore), then normal appends resume
+        cap = 64
+        while cap < len(self.keyframes):
+            cap *= 2
+        F, W = self.keyframes[0].desc.shape
+        desc = np.zeros((cap, F, W), np.uint32)
+        val = np.zeros((cap, F), bool)
+        for kf in self.keyframes:
+            desc[kf.index] = kf.desc
+            val[kf.index] = kf.valid
+        self._kf_desc_dev = jnp.asarray(desc)
+        self._kf_valid_dev = jnp.asarray(val)
+
     def _try_loop_closure(self, kf: Keyframe, min_matches: int = 12):
-        """Match this keyframe's descriptors against older keyframes
-        (skipping recent neighbors); add a graph edge on success.
+        """Match this keyframe's descriptors against ALL older keyframes
+        (skipping recent neighbors) in one vmapped matcher dispatch over
+        the stacked store; add a graph edge on success.
 
         Correspondences are mutually cross-checked (forward+reverse NN must
         agree — the one-directional ratio test alone lets many query rows
         collapse onto one train row and feeds Horn garbage), then the Horn
         fit is iterated on inliers and the closure rejected unless a tight
-        consensus remains."""
-        use_pallas = jax.devices()[0].platform == "tpu"
-        best_pair = None
-        for old in self.keyframes[: max(0, kf.index - 3)]:
-            idx, dist = match_mod.match(
-                jnp.asarray(kf.desc), jnp.asarray(kf.valid),
-                jnp.asarray(old.desc), jnp.asarray(old.valid),
-                ratio=self.cfg.frontend.match_ratio,
-                use_pallas=use_pallas, interpret=False,
-            )
-            ridx, _ = match_mod.match(
-                jnp.asarray(old.desc), jnp.asarray(old.valid),
-                jnp.asarray(kf.desc), jnp.asarray(kf.valid),
-                ratio=self.cfg.frontend.match_ratio,
-                use_pallas=use_pallas, interpret=False,
-            )
-            idx, ridx = np.asarray(idx), np.asarray(ridx)
-            rows = np.arange(len(idx))
-            mutual = (idx >= 0) & (ridx[np.clip(idx, 0, len(ridx) - 1)] == rows)
-            n = int(mutual.sum())
-            if n >= min_matches and (best_pair is None or n > best_pair[0]):
-                best_pair = (n, old, idx, mutual)
-        if best_pair is None:
+        consensus remains. Per-keyframe match semantics are identical to the
+        round-1 serial loop; the host does only the final bincount/argmax."""
+        n_old = max(0, kf.index - 3)
+        if n_old == 0:
             return False
-        n, old, idx, mutual = best_pair
-        rows = np.where(mutual)[0]
-        pa = jnp.asarray(kf.points_kf[rows])          # in kf frame
-        pb = jnp.asarray(old.points_kf[idx[rows]])    # in old-kf frame
-        valid = np.ones((len(rows),), bool)
+        use_pallas = jax.devices()[0].platform == "tpu"
+        eligible = jnp.arange(self._kf_desc_dev.shape[0]) < n_old
+        fwd, rev = _batched_kf_match(
+            jnp.asarray(kf.desc), jnp.asarray(kf.valid),
+            self._kf_desc_dev, self._kf_valid_dev & eligible[:, None],
+            ratio=self.cfg.frontend.match_ratio, use_pallas=use_pallas,
+        )
+        fwd, rev = np.asarray(fwd), np.asarray(rev)
+        F = fwd.shape[1]
+        rows = np.arange(F)[None, :]
+        mutual = (fwd >= 0) & (
+            np.take_along_axis(rev, np.clip(fwd, 0, F - 1), axis=1) == rows
+        )
+        counts = mutual.sum(axis=1)
+        counts[n_old:] = 0
+        k_best = int(counts.argmax())
+        if counts[k_best] < min_matches:
+            return False
+        old = self.keyframes[k_best]
+        sel = np.where(mutual[k_best])[0]
+        pa = jnp.asarray(kf.points_kf[sel])                 # in kf frame
+        pb = jnp.asarray(old.points_kf[fwd[k_best, sel]])   # in old-kf frame
+        valid = np.ones((len(sel),), bool)
         # T such that p_old ≈ T(p_kf)  => Z_{old,kf} = T_old⁻¹ T_kf measured
         rel = None
         for _ in range(3):  # Horn + inlier re-fit (RANSAC-lite consensus)
@@ -327,54 +443,65 @@ class SLAMSystem:
             )
             for i in range(int(data["n"]))
         ]
+        self._rebuild_kf_store()
 
     # -- offline refinement ----------------------------------------------
 
-    def build_ba_problem(self) -> graph_mod.BAProblem | None:
+    def build_ba_problem(
+        self, dedup_max_hamming: int = 40
+    ) -> graph_mod.BAProblem | None:
         """Assemble a BA problem from the keyframe stores: cameras =
         keyframe poses; points = union of keyframe landmark snapshots
-        deduplicated by descriptor matching; observations = projections."""
+        deduplicated by descriptor matching (first-seen world position is
+        the point); observations = projections of the stored point.
+
+        Vectorized: the dedup is a `lax.scan` of fused matcher kernels
+        over keyframes (`_assign_point_ids`) and the projections are one
+        batched device op — the round-1 version did a pure-Python
+        per-observation loop with an O(N) numpy Hamming scan per row."""
         if len(self.keyframes) < 2:
             return None
-        cam_pose = jnp.asarray(np.stack([kf.pose for kf in self.keyframes]))
-        pts, obs_cam, obs_pt, obs_uv = [], [], [], []
-        pt_desc = []
-        for kf in self.keyframes:
-            rows = np.where(kf.valid)[0]
-            world = np.asarray(
-                jax.vmap(lambda p: geometry.se3_apply(jnp.asarray(kf.pose), p))(
-                    jnp.asarray(kf.points_kf[rows])
-                )
+        K = len(self.keyframes)
+        poses = np.stack([kf.pose for kf in self.keyframes]).astype(np.float32)
+        pts_kf = np.stack([kf.points_kf for kf in self.keyframes])
+        desc = np.stack([kf.desc for kf in self.keyframes])
+        valid = np.stack([kf.valid for kf in self.keyframes])
+        F = desc.shape[1]
+        cap = int(min(K * F, self.cfg.backend.max_landmarks))
+        poses_d = jnp.asarray(poses)
+        world = jax.vmap(
+            lambda T, ps: jax.vmap(lambda p: geometry.se3_apply(T, p))(ps)
+        )(poses_d, jnp.asarray(pts_kf))
+        use_pallas = jax.devices()[0].platform == "tpu"
+        (sd, sv, sp, n_pts, n_drop), pid = _assign_point_ids(
+            jnp.asarray(desc), jnp.asarray(valid), world,
+            cap=cap, use_pallas=use_pallas, max_ham=dedup_max_hamming,
+        )
+        if int(n_drop):
+            print(
+                f"build_ba_problem: point capacity {cap} "
+                f"(backend.max_landmarks) exhausted; dropped {int(n_drop)} "
+                "new points (their observations are excluded)",
+                file=_sys.stderr,
             )
-            for r, w in zip(rows, world):
-                # dedup: match descriptor against existing points
-                pid = None
-                if pt_desc:
-                    d = np.asarray(pt_desc, np.uint32)
-                    ham = np.unpackbits(
-                        (d ^ kf.desc[r][None]).view(np.uint8), axis=1
-                    ).sum(1)
-                    j = int(ham.argmin())
-                    if ham[j] < 40:
-                        pid = j
-                if pid is None:
-                    pid = len(pts)
-                    pts.append(w)
-                    pt_desc.append(kf.desc[r])
-                p_cam = geometry.se3_apply_inverse(
-                    jnp.asarray(kf.pose), jnp.asarray(pts[pid])
-                )
-                uv = self.camera.project(p_cam)
-                obs_cam.append(kf.index)
-                obs_pt.append(pid)
-                obs_uv.append(np.asarray(uv))
-        cam_fixed = jnp.zeros((len(self.keyframes),), bool).at[0].set(True)
-        if len(self.keyframes) > 1:
+        pid_c = jnp.clip(pid, 0, cap - 1)
+        p_cam = jax.vmap(
+            lambda T, ps: jax.vmap(
+                lambda p: geometry.se3_apply_inverse(T, p)
+            )(ps)
+        )(poses_d, sp[pid_c])
+        uv = self.camera.project(p_cam)                     # [K, F, Dz]
+        cam_fixed = jnp.zeros((K,), bool).at[0].set(True)
+        if K > 1:
             cam_fixed = cam_fixed.at[1].set(True)  # pin monocular scale gauge
         return graph_mod.make_ba_problem(
-            cam_pose, jnp.asarray(np.stack(pts)),
-            jnp.asarray(obs_cam), jnp.asarray(obs_pt),
-            jnp.asarray(np.stack(obs_uv)), cam_fixed=cam_fixed,
+            poses_d, sp,
+            jnp.repeat(jnp.arange(K, dtype=jnp.int32), F),
+            pid_c.reshape(-1),
+            uv.reshape(K * F, -1),
+            pt_valid=sv,
+            obs_valid=(pid >= 0).reshape(-1),
+            cam_fixed=cam_fixed,
         )
 
     def run_ba(self, iters: int | None = None):
