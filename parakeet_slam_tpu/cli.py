@@ -96,34 +96,144 @@ def cmd_run(args):
         return
 
     if cfg.data.dataset in ("tum", "kitti", "euroc"):
+        from parakeet_slam_tpu.core import geometry
+        from parakeet_slam_tpu.eval import ate_rmse
         from parakeet_slam_tpu.system import SLAMSystem
 
         if cfg.data.dataset == "tum":
             from parakeet_slam_tpu.data.tum import load_tum
 
             seq = load_tum(cfg.data.path)
+            gt = seq.gt_pose  # [T, 7] (t, qxyzw), NaN rows possible
         elif cfg.data.dataset == "euroc":
             from parakeet_slam_tpu.data.euroc import load_euroc
 
             seq = load_euroc(cfg.data.path)
+            gt = seq.gt_pose
         else:
             from parakeet_slam_tpu.data.kitti import load_kitti
 
             seq = load_kitti(cfg.data.path)
+            gt = _kitti_gt_to_quat(seq.gt_pose) if seq.gt_pose is not None else None
+
+        n = len(seq) if args.frames <= 0 else min(args.frames, len(seq))
+        odom = _make_odometry(cfg.data, gt, n)
+        stereo = cfg.data.dataset == "kitti" and cfg.filter.obs_dim == 3
+
         sys_ = SLAMSystem(cfg)
         est = []
-        n = len(seq) if args.frames <= 0 else min(args.frames, len(seq))
-        zero_u = np.zeros((6,), np.float32)
+        t_loop = time.time()
         for i in range(n):
-            est.append(sys_.process_frame(seq.image(i), zero_u))
+            if stereo:
+                est.append(
+                    sys_.process_stereo_frame(
+                        seq.image(i), seq.image(i, right=True), odom[i]
+                    )
+                )
+            else:
+                est.append(sys_.process_frame(seq.image(i), odom[i]))
         est = np.stack(est)
-        print(f"frames={n} keyframes={len(sys_.keyframes)} "
-              f"loop_closures={len(sys_.loop_closures)}")
+        wall = time.time() - t_loop
+        line = (
+            f"frames={n} keyframes={len(sys_.keyframes)} "
+            f"loop_closures={len(sys_.loop_closures)} "
+            f"fps={n / wall:.2f} wall={wall:.1f}s"
+        )
+        if gt is not None:
+            ok = ~np.isnan(gt[:n, :3]).any(axis=1)
+            if ok.sum() >= 3:
+                # monocular runs are scale-ambiguous -> Sim(3) alignment
+                with_scale = cfg.frontend.camera == "pinhole"
+                ate = float(
+                    ate_rmse(est[ok, :3], gt[:n][ok, :3], with_scale=with_scale)
+                )
+                line += f" ate_rmse={ate:.4f} m (sim3={with_scale})"
+        print(line)
         if args.out:
             export_trajectory(args.out, est)
         return
 
     raise SystemExit(f"unknown dataset {cfg.data.dataset!r}")
+
+
+def _kitti_gt_to_quat(gt34):
+    """KITTI [T, 3, 4] world-from-cam0 matrices -> [T, 7] (t, qxyzw)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parakeet_slam_tpu.core import geometry
+
+    out = np.zeros((len(gt34), 7), np.float32)
+    out[:, :3] = gt34[:, :, 3]
+    import jax
+
+    out[:, 3:] = np.asarray(
+        jax.vmap(geometry.matrix_to_quat)(jnp.asarray(gt34[:, :, :3]))
+    )
+    return out
+
+
+def _make_odometry(data_cfg, gt, n):
+    """Per-frame body-frame twist increments [n, 6] for image datasets.
+
+    odom_source="gt": noisy ground-truth increments (simulating the wheel
+    odometry the reference consumed — TUM/KITTI ship none); NaN gt rows
+    produce zero increments. odom_source="none": zeros (pure visual)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parakeet_slam_tpu.core import geometry
+
+    odom = np.zeros((n, 6), np.float32)
+    if data_cfg.odom_source != "gt" or gt is None:
+        return odom
+    rng = np.random.default_rng(data_cfg.seed)
+    ok = ~np.isnan(gt[:n, :3]).any(axis=1)
+    rel = jax.vmap(
+        lambda a, b: geometry.se3_log(geometry.se3_between(a, b))
+    )(jnp.asarray(gt[: n - 1]), jnp.asarray(gt[1:n]))
+    rel = np.asarray(rel)
+    good = ok[:-1] & ok[1:]
+    sig_t, sig_r = data_cfg.odom_noise
+    noise = np.concatenate(
+        [rng.normal(0, sig_t, (n - 1, 3)), rng.normal(0, sig_r, (n - 1, 3))],
+        axis=1,
+    ).astype(np.float32)
+    odom[1:][good] = (rel + noise)[good]
+    return odom
+
+
+def cmd_synth(args):
+    """Generate a full-scale synthetic dataset in the real TUM/KITTI
+    on-disk format (the container ships no dataset downloads; see
+    data/synth_vision.py)."""
+    import time as _t
+
+    from parakeet_slam_tpu.data import synth_vision as sv
+
+    t0 = _t.time()
+    if args.kind == "tum":
+        world = sv.make_desk_world(
+            num_landmarks=args.landmarks or 1000,
+            num_steps=args.steps or 600,
+            seed=args.seed,
+        )
+        sv.write_tum_format(world, args.out)
+    elif args.kind == "kitti":
+        world = sv.make_drive_world(
+            num_landmarks=args.landmarks or 10000,
+            num_steps=args.steps or 700,
+            seed=args.seed,
+        )
+        sv.write_kitti_format(world, args.out)
+    else:
+        raise SystemExit(f"unknown synth kind {args.kind!r}")
+    print(
+        f"wrote {args.kind} dataset: {len(world)} frames, "
+        f"{len(world.landmarks)} landmarks -> {args.out} "
+        f"({_t.time() - t0:.1f}s)"
+    )
 
 
 def cmd_eval(args):
@@ -169,6 +279,16 @@ def main(argv=None):
     p_run.add_argument("--out", default="", help="trajectory output (TUM fmt)")
     p_run.add_argument("--frames", type=int, default=0)
     p_run.set_defaults(fn=cmd_run)
+
+    p_synth = sub.add_parser(
+        "synth", help="generate a synthetic TUM/KITTI-format dataset"
+    )
+    p_synth.add_argument("--kind", required=True, choices=("tum", "kitti"))
+    p_synth.add_argument("--out", required=True)
+    p_synth.add_argument("--steps", type=int, default=0)
+    p_synth.add_argument("--landmarks", type=int, default=0)
+    p_synth.add_argument("--seed", type=int, default=20)
+    p_synth.set_defaults(fn=cmd_synth)
 
     p_eval = sub.add_parser("eval", help="ATE between two TUM trajectories")
     p_eval.add_argument("--est", required=True)

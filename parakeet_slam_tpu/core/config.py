@@ -119,6 +119,12 @@ class DataConfig:
     num_steps: int = 500
     num_landmarks: int = 100         # synthetic world size
     seed: int = 7
+    # Odometry source for image datasets: "none" feeds zero increments
+    # (pure visual, motion noise must cover inter-frame motion); "gt"
+    # derives noisy increments from ground truth — simulating the wheel
+    # odometry the reference consumed (TUM/KITTI ship none).
+    odom_source: str = "none"
+    odom_noise: tuple[float, float] = (0.01, 0.005)
 
 
 @dataclass(frozen=True)
