@@ -24,37 +24,59 @@ def fill_free_slots(fs_s, lv_o, lane_c, *, chunk, nca, hi_c, num_landmarks,
     """Fill fs_s[:, :n_fs] with the first n_fs free lanes in ascending
     order: holes (culled slots below the active watermark) by iterated
     masked-min, then the virgin tail [hi_c, ...) arithmetically. Ordering
-    is identical to a per-observation first-free scan."""
+    is identical to a per-observation first-free scan.
+
+    The per-slot hole sweeps (n_fs full passes over the active planes —
+    the single most expensive fixed cost of the v2 kernels) are guarded:
+    one counting pass finds how many holes exist, and sweep j only runs
+    when some particle actually has a j-th hole.  Maps without holes (the
+    common case — holes only appear after culls) pay one pass total."""
     P = fs_s.shape[0]
     fs_s[:, :] = jnp.full(fs_s.shape, jnp.float32(_BIG_LANE))
-    nhole = jnp.zeros((P, 1), jnp.float32)
+
+    def count_chunk(c, acc):
+        sl = pl.ds(c * chunk, chunk)
+        lanes = lane_c + c * chunk
+        free = (lv_o[:, sl] < 0.5) & (lanes < num_landmarks)
+        return acc + jnp.sum(free.astype(jnp.float32), axis=1, keepdims=True)
+
+    hcnt = jax.lax.fori_loop(
+        0, nca, count_chunk, jnp.zeros((P, 1), jnp.float32), unroll=False
+    )
+    hmax = jnp.max(hcnt)
+    # number of fs entries that will be holes, per particle (exact: the
+    # iterated-min would find exactly min(hcnt, n_fs) holes)
+    nhole = jnp.minimum(hcnt, float(n_fs))
+
     for j in range(n_fs):
-        prev = (
-            jnp.full((P, 1), -1.0)
-            if j == 0
-            else fs_s[:, j - 1 : j]
-        )
-
-        def hole_chunk(c, best, prev=prev):
-            sl = pl.ds(c * chunk, chunk)
-            lanes = lane_c + c * chunk
-            free = (
-                (lv_o[:, sl] < 0.5)
-                & (lanes < num_landmarks)
-                & (lanes.astype(jnp.float32) > prev)
+        @pl.when(hmax > float(j))
+        def _(j=j):
+            prev = (
+                jnp.full((P, 1), -1.0)
+                if j == 0
+                else fs_s[:, j - 1 : j]
             )
-            cand = jnp.min(
-                jnp.where(free, lanes, _BIG_LANE), axis=1, keepdims=True
-            ).astype(jnp.float32)
-            return jnp.minimum(best, cand)
 
-        best = jax.lax.fori_loop(
-            0, nca, hole_chunk, jnp.full((P, 1), jnp.float32(_BIG_LANE)),
-            unroll=False,
-        )
-        found = best < float(_BIG_LANE) / 2
-        fs_s[:, j : j + 1] = jnp.where(found, best, fs_s[:, j : j + 1])
-        nhole = nhole + found.astype(jnp.float32)
+            def hole_chunk(c, best):
+                sl = pl.ds(c * chunk, chunk)
+                lanes = lane_c + c * chunk
+                free = (
+                    (lv_o[:, sl] < 0.5)
+                    & (lanes < num_landmarks)
+                    & (lanes.astype(jnp.float32) > prev)
+                )
+                cand = jnp.min(
+                    jnp.where(free, lanes, _BIG_LANE), axis=1, keepdims=True
+                ).astype(jnp.float32)
+                return jnp.minimum(best, cand)
+
+            best = jax.lax.fori_loop(
+                0, nca, hole_chunk, jnp.full((P, 1), jnp.float32(_BIG_LANE)),
+                unroll=False,
+            )
+            found = best < float(_BIG_LANE) / 2
+            fs_s[:, j : j + 1] = jnp.where(found, best, fs_s[:, j : j + 1])
+
     tail_lane = hi_c.astype(jnp.float32) + (
         obs_lane.astype(jnp.float32) - nhole
     )

@@ -17,15 +17,45 @@ standard batched formulation for SIMD hardware: within one frame the map
 barely moves, detections are NMS-deduplicated, and the Monte-Carlo filter
 is robust to it (golden-ATE regression tests pin the accuracy).
 
-Why v2: the v1 kernel processed observations strictly sequentially, which
-forced per-observation full-plane gathers, masked scatters, and likelihood-
-cache refreshes (~45 extra VPU ops/lane/obs on top of the ~16-op scoring
-sweep).  Batched association reduces per-observation plane work to the
-scoring sweep alone; the apply phase runs once per frame.  A bf16 MXU
-feature-matmul formulation of the sweep was prototyped and REJECTED:
-expanding the Mahalanobis quadratic for the matmul cancels catastrophically
-in bf16 (measured: max |ll| error 1.7, 20% argmax agreement), so scoring
-stays on the VPU in exact fp32 difference form.
+v3 kernel schedule (same v2 semantics, restructured for VPU issue rate —
+the v2 kernel measured 44 ms at the KITTI bench shape, v3 targets <15 ms):
+
+  * **Fused single-pass scoring.** v2 cached per-lane geometry in six
+    [P, L] VMEM scratch planes and re-loaded all six per observation
+    (≈6 extra vreg loads per pair, ≈40% of the sweep's issue slots).
+    v3 computes geometry once per landmark chunk into live values and
+    loops observations over them; the per-(obs, lane) work drops to the
+    13-op likelihood evaluation plus a 3-op running argmax.
+  * **Slice-tournament argmax.** v2 did two full reduction passes per
+    (obs, chunk) (max, then masked-min for the index).  v3 keeps a
+    running (best-ll, best-lane) pair per 128-lane vreg position and
+    defers the cross-lane reduction to one tiny [P, 128] pass per
+    observation at the end.  Strict `>` comparisons preserve the exact
+    first-match lane-min tie-breaking of v2 (earliest chunk/slice wins;
+    the final masked-min picks the smallest lane among global maxima).
+  * **Guarded hole scan.** Free-slot discovery cost v2 ~10 ms per call:
+    n_fs (=Z) full-plane iterated-min sweeps, even when the map had no
+    holes (the common case — holes only exist after culls).  v3 counts
+    holes in one sweep and skips the per-slot sweeps entirely via
+    `pl.when(max_holes > j)`.
+  * **Cull fused into the apply pass.** Round 1 of the apply phase
+    already has every updated plane value live in registers; FOV culling
+    runs there instead of a separate full-plane pass.  This is exact:
+    collision rounds (2+) only touch lanes already matched in round 1,
+    and matched lanes are never cull-decremented.
+  * **Chunk-guarded collision rounds.** Rounds 2+ only run over chunks
+    that actually contain a pending target (scalar test on the narrow
+    [P, Z] target list), so collision resolution costs O(colliding
+    lanes), not O(L) per round.
+  * **Pt=32 particle tiles.** v2 ran 8-particle tiles (256 grid steps at
+    the bench shape); measured scaling showed ~40% of wall time was
+    per-step overhead.  v3 budgets 48 MB of VMEM (v5e has 128 MB) for
+    32-particle tiles.
+
+A bf16 MXU feature-matmul formulation of the scoring sweep was prototyped
+and REJECTED: expanding the Mahalanobis quadratic for the matmul cancels
+catastrophically in bf16 (measured: max |ll| error 1.7, 20% argmax
+agreement), so scoring stays on the VPU in exact fp32 difference form.
 
 TPU layout: per-particle landmark maps as structure-of-arrays planes
 [P, L] (mean-x, mean-y, cov-xx/xy/yy, signature channels, valid, count),
@@ -72,7 +102,7 @@ _wrap = mathx.wrap_angle
 
 
 def _kernel(
-    # SMEM observation arrays + active watermark
+    # SMEM observation arrays + active watermark (in score-chunk units)
     z_ref, sig_ref, vz_ref, hi_ref,
     # VMEM per-particle inputs
     pose_ref, logw_ref,
@@ -82,7 +112,8 @@ def _kernel(
     num_obs: int,
     num_landmarks: int,
     sig_dim: int,
-    chunk: int,
+    sc: int,
+    ac: int,
     r_var: tuple[float, float],
     sig_var: float,
     log_p0: float,
@@ -101,11 +132,10 @@ def _kernel(
     lv_o, lc_o = out[6 + S], out[7 + S]
     nmatch_o = out[8 + S]
     tail = refs[S + 2 + 9 + S :]
-    # scoring cache planes: r, th, Af(-A/2), Bf(+B), Cf(-C/2), ldf
-    r_s, th_s, a_s, b_s, c_s, ld_s = tail[0:6]
     # narrow scratch [Pt, Zp]: top ll / idx, free-slot list, target, flags
-    top_ll, top_ix, fs_s, tgt_s, new_s, done_s = tail[6:12]
-    matched_s = tail[12]  # [Pt, L] plane: touched-this-frame mask
+    top_ll, top_ix, fs_s, tgt_s, new_s, done_s = tail[0:6]
+    # per-obs running argmax accumulators [Pt, Z*128]
+    acc_ll, acc_ix = tail[6], tail[7]
 
     P, L = mx_o.shape
     Z = num_obs
@@ -123,26 +153,31 @@ def _kernel(
     lv_o[:, :] = lv_ref[:, :]
     lc_o[:, :] = lc_ref[:, :]
     nmatch_o[:, :] = jnp.zeros((P, 1), jnp.float32)
-    matched_s[:, :] = jnp.zeros((P, L), jnp.float32)
+    acc_ll[:, :] = jnp.full(acc_ll.shape, _NEG_INF, jnp.float32)
+    acc_ix[:, :] = jnp.zeros(acc_ix.shape, jnp.float32)
     top_ll[:, :] = jnp.full(top_ll.shape, _NEG_INF, jnp.float32)
     top_ix[:, :] = jnp.zeros(top_ix.shape, jnp.float32)
 
     px = pose_ref[:, 0:1]
     py = pose_ref[:, 1:2]
     pth = pose_ref[:, 2:3]
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (P, sc), 1)
+    lane_a = jax.lax.broadcasted_iota(jnp.int32, (P, ac), 1)
     obs_lane = jax.lax.broadcasted_iota(jnp.int32, top_ll.shape, 1)
 
-    # Active region: chunks that can hold valid lanes now, plus one chunk of
-    # headroom for this frame's tail allocations.  hi == number of chunks
-    # with any ever-allocated lane (computed by the wrapper).
-    nca = hi_ref[0]                      # active chunks (scan/score bound)
-    hi_c = nca * chunk                   # first fully-virgin lane
-    ncw = jnp.minimum(nca + 1, L // chunk)  # write bound (allocs may spill)
+    # Active region in score-chunk (sc) units: chunks that can hold valid
+    # lanes now; allocations may spill one apply-chunk past the watermark.
+    nca = hi_ref[0]                      # active score-chunks
+    hi_c = nca * sc                      # first fully-virgin lane
+    nca_a = (hi_c + ac - 1) // ac        # active apply-chunks
+    ncw = jnp.minimum(nca_a + 1, L // ac)  # apply/write bound
 
-    # ---- pass 0: scoring cache over active chunks ------------------------
-    def cache_chunk(c, _):
-        sl = pl.ds(c * chunk, chunk)
+    # ---- pass 1: fused geometry + scoring over active chunks -------------
+    # Per chunk: compute the per-lane geometry/likelihood coefficients once
+    # into live values, then evaluate all Z observations against them with
+    # a slice-tournament running argmax (see module docstring).
+    def score_chunk(c, _):
+        sl = pl.ds(c * sc, sc)
         dx = mx_o[:, sl] - px
         dy = my_o[:, sl] - py
         q = dx * dx + dy * dy + 1e-12
@@ -158,29 +193,15 @@ def _kernel(
         q12 = a11 * h21 + a12 * h22
         q22 = (h21 * sxx + h22 * sxy) * h21 + (h21 * sxy + h22 * syy) * h22 + r22
         det = jnp.maximum(q11 * q22 - q12 * q12, 1e-12)
-        r_s[:, sl] = r
-        th_s[:, sl] = _atan2(dy, dx) - pth
-        a_s[:, sl] = -0.5 * (q22 / det)
-        b_s[:, sl] = q12 / det
-        c_s[:, sl] = -0.5 * (q11 / det)
-        ok = (lv_o[:, sl] > 0) & ((lane_c + c * chunk) < num_landmarks)
-        ld_s[:, sl] = jnp.where(ok, -0.5 * (jnp.log(det) + 2.0 * _LOG_2PI), _NEG_INF)
-        return 0
-
-    jax.lax.fori_loop(0, nca, cache_chunk, 0, unroll=False)
-
-    # ---- pass 1: score every obs against the pre-frame map ---------------
-    # ll = Af*nu1² + Bf*nu1*nu2 + Cf*nu2² + ldf + sig terms (difference form,
-    # exact fp32 — see module docstring for why not an MXU matmul).
-    def score_chunk(c, _):
-        sl = pl.ds(c * chunk, chunk)
-        r = r_s[:, sl]
-        th = th_s[:, sl]
-        Af = a_s[:, sl]
-        Bf = b_s[:, sl]
-        Cf = c_s[:, sl]
-        ldf = ld_s[:, sl]
-        lanes = lane_c + c * chunk
+        th = _atan2(dy, dx) - pth
+        Af = -0.5 * (q22 / det)
+        Bf = q12 / det
+        Cf = -0.5 * (q11 / det)
+        lanes = lane_s + c * sc
+        ok = (lv_o[:, sl] > 0) & (lanes < num_landmarks)
+        ldf = jnp.where(ok, -0.5 * (jnp.log(det) + 2.0 * _LOG_2PI), _NEG_INF)
+        sigs = [sig_out[s][:, sl] for s in range(S)]
+        lanes_f = lanes.astype(jnp.float32)
 
         for i in range(Z):
             nu1 = z_ref[i, 0] - r
@@ -191,26 +212,25 @@ def _kernel(
                 (Af * nu1 + Bf * nu2) * nu1 + Cf * nu2 * nu2, 0.0
             ) + ldf
             for s in range(S):
-                ds_ = sig_out[s][:, sl] - sig_ref[i, s]
+                ds_ = sigs[s] - sig_ref[i, s]
                 ll = ll - (0.5 / sig_var) * ds_ * ds_
             t1 = jnp.max(ll, axis=1, keepdims=True)
             i1 = jnp.min(
-                jnp.where(ll == t1, lanes, _BIG_LANE), axis=1, keepdims=True
-            )
+                jnp.where(ll == t1, lanes_f, jnp.float32(_BIG_LANE)),
+                axis=1, keepdims=True)
             old = top_ll[:, i : i + 1]
             better = t1 > old
             top_ll[:, i : i + 1] = jnp.where(better, t1, old)
-            top_ix[:, i : i + 1] = jnp.where(
-                better, i1.astype(jnp.float32), top_ix[:, i : i + 1]
-            )
+            top_ix[:, i : i + 1] = jnp.where(better, i1, top_ix[:, i : i + 1])
         return 0
 
     jax.lax.fori_loop(0, nca, score_chunk, 0, unroll=False)
 
+
     # ---- pass 2+3: free slots + vectorized association (shared helpers) --
     n_fs = min(Z, 64)
     ekf_common.fill_free_slots(
-        fs_s, lv_o, lane_c, chunk=chunk, nca=nca, hi_c=hi_c,
+        fs_s, lv_o, lane_s, chunk=sc, nca=nca, hi_c=hi_c,
         num_landmarks=num_landmarks, n_fs=n_fs, obs_lane=obs_lane,
     )
     valid_obs, is_new, ll1, n_assoc = ekf_common.associate(
@@ -225,164 +245,175 @@ def _kernel(
             jnp.where(valid_obs, dw, 0.0), axis=1, keepdims=True
         )
 
-    # ---- pass 4: per-lane sequential composition (collision rounds) ------
+    # ---- pass 4: apply (round 1 full, with fused cull) --------------------
     # Each round, every pending target lane consumes its lowest-index
     # pending observation and applies the EKF update (or allocation init)
-    # in plane space.  One round suffices unless two observations
-    # associated to the same landmark.
-    def round_body(_m, _):
-        pending = (done_s[:, :] < 0.5).astype(jnp.float32)
-        any_pending = jnp.max(pending) > 0.0
+    # in plane space.  Round 1 consumes every observation whose target lane
+    # is unique; collision rounds 2+ (same-lane multi-obs) run chunk-guarded.
+    def apply_chunk(c, first_round: bool):
+        sl = pl.ds(c * ac, ac)
+        lanes = lane_a + c * ac
+        lanes_f = lanes.astype(jnp.float32)
+        already = jnp.zeros((P, ac), jnp.bool_)
+        zr_b = jnp.zeros((P, ac), jnp.float32)
+        zphi_b = jnp.zeros((P, ac), jnp.float32)
+        sig_b = [jnp.zeros((P, ac), jnp.float32) for _ in range(S)]
+        isnew_b = jnp.zeros((P, ac), jnp.float32)
 
-        @pl.when(any_pending)
-        def _():
-            def chunk_body(c, _):
-                sl = pl.ds(c * chunk, chunk)
-                lanes_f = (lane_c + c * chunk).astype(jnp.float32)
-                already = jnp.zeros((P, chunk), jnp.bool_)
-                zr_b = jnp.zeros((P, chunk), jnp.float32)
-                zphi_b = jnp.zeros((P, chunk), jnp.float32)
-                sig_b = [jnp.zeros((P, chunk), jnp.float32) for _ in range(S)]
-                isnew_b = jnp.zeros((P, chunk), jnp.float32)
+        for i in range(Z):
+            hit = (
+                (tgt_s[:, i : i + 1] == lanes_f)
+                & (done_s[:, i : i + 1] < 0.5)
+                & ~already
+            )
+            already = already | hit
+            zr_b = jnp.where(hit, z_ref[i, 0], zr_b)
+            zphi_b = jnp.where(hit, z_ref[i, 1], zphi_b)
+            for s in range(S):
+                sig_b[s] = jnp.where(hit, sig_ref[i, s], sig_b[s])
+            isnew_b = jnp.where(hit, new_s[:, i : i + 1], isnew_b)
+            # obs i is consumed this round iff any lane took it
+            took = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
+            done_s[:, i : i + 1] = jnp.maximum(done_s[:, i : i + 1], took)
 
-                for i in range(Z):
-                    hit = (
-                        (tgt_s[:, i : i + 1] == lanes_f)
-                        & (done_s[:, i : i + 1] < 0.5)
-                        & ~already
-                    )
-                    already = already | hit
-                    zr_b = jnp.where(hit, z_ref[i, 0], zr_b)
-                    zphi_b = jnp.where(hit, z_ref[i, 1], zphi_b)
-                    for s in range(S):
-                        sig_b[s] = jnp.where(hit, sig_ref[i, s], sig_b[s])
-                    isnew_b = jnp.where(hit, new_s[:, i : i + 1], isnew_b)
-                    # obs i is consumed this round iff any lane took it
-                    took = jnp.max(
-                        hit.astype(jnp.float32), axis=1, keepdims=True
-                    )
-                    done_s[:, i : i + 1] = jnp.maximum(
-                        done_s[:, i : i + 1], took
-                    )
+        upd_m = already & (isnew_b < 0.5)
+        alloc_m = already & (isnew_b > 0.5)
 
-                upd_m = already & (isnew_b < 0.5)
-                alloc_m = already & (isnew_b > 0.5)
+        # --- EKF update at matched lanes (same op order as the XLA twin's
+        # narrow-space update: bit-exact parity) ----------------------------
+        mx = mx_o[:, sl]
+        my = my_o[:, sl]
+        sxx, sxy, syy = cxx_o[:, sl], cxy_o[:, sl], cyy_o[:, sl]
+        dx = mx - px
+        dy = my - py
+        q = dx * dx + dy * dy + 1e-12
+        r = jnp.sqrt(q)
+        h11 = dx / r
+        h12 = dy / r
+        h21 = -dy / q
+        h22 = dx / q
+        a11 = h11 * sxx + h12 * sxy
+        a12 = h11 * sxy + h12 * syy
+        a21 = h21 * sxx + h22 * sxy
+        a22 = h21 * sxy + h22 * syy
+        q11 = a11 * h11 + a12 * h12 + r11
+        q12 = a11 * h21 + a12 * h22
+        q22 = a21 * h21 + a22 * h22 + r22
+        det = jnp.maximum(q11 * q22 - q12 * q12, 1e-12)
+        qi11 = q22 / det
+        qi12 = -q12 / det
+        qi22 = q11 / det
+        nu1 = zr_b - r
+        nu2 = _wrap(zphi_b - (_atan2(dy, dx) - pth))
+        b11 = sxx * h11 + sxy * h12
+        b12 = sxx * h21 + sxy * h22
+        b21 = sxy * h11 + syy * h12
+        b22 = sxy * h21 + syy * h22
+        k11 = b11 * qi11 + b12 * qi12
+        k12 = b11 * qi12 + b12 * qi22
+        k21 = b21 * qi11 + b22 * qi12
+        k22 = b21 * qi12 + b22 * qi22
+        mx_u = mx + k11 * nu1 + k12 * nu2
+        my_u = my + k21 * nu1 + k22 * nu2
+        i11 = 1.0 - (k11 * h11 + k12 * h21)
+        i12 = -(k11 * h12 + k12 * h22)
+        i21 = -(k21 * h11 + k22 * h21)
+        i22 = 1.0 - (k21 * h12 + k22 * h22)
+        cxx_u = i11 * sxx + i12 * sxy
+        cxy_u = 0.5 * ((i11 * sxy + i12 * syy) + (i21 * sxx + i22 * sxy))
+        cyy_u = i21 * sxy + i22 * syy
 
-                # --- EKF update at matched lanes (same op order as the XLA
-                # twin's narrow-space update: bit-exact parity) ------------
-                mx = mx_o[:, sl]
-                my = my_o[:, sl]
-                sxx, sxy, syy = cxx_o[:, sl], cxy_o[:, sl], cyy_o[:, sl]
-                dx = mx - px
-                dy = my - py
-                q = dx * dx + dy * dy + 1e-12
-                r = jnp.sqrt(q)
-                h11 = dx / r
-                h12 = dy / r
-                h21 = -dy / q
-                h22 = dx / q
-                a11 = h11 * sxx + h12 * sxy
-                a12 = h11 * sxy + h12 * syy
-                a21 = h21 * sxx + h22 * sxy
-                a22 = h21 * sxy + h22 * syy
-                q11 = a11 * h11 + a12 * h12 + r11
-                q12 = a11 * h21 + a12 * h22
-                q22 = a21 * h21 + a22 * h22 + r22
-                det = jnp.maximum(q11 * q22 - q12 * q12, 1e-12)
-                qi11 = q22 / det
-                qi12 = -q12 / det
-                qi22 = q11 / det
-                nu1 = zr_b - r
-                nu2 = _wrap(zphi_b - (_atan2(dy, dx) - pth))
-                b11 = sxx * h11 + sxy * h12
-                b12 = sxx * h21 + sxy * h22
-                b21 = sxy * h11 + syy * h12
-                b22 = sxy * h21 + syy * h22
-                k11 = b11 * qi11 + b12 * qi12
-                k12 = b11 * qi12 + b12 * qi22
-                k21 = b21 * qi11 + b22 * qi12
-                k22 = b21 * qi12 + b22 * qi22
-                mx_u = mx + k11 * nu1 + k12 * nu2
-                my_u = my + k21 * nu1 + k22 * nu2
-                i11 = 1.0 - (k11 * h11 + k12 * h21)
-                i12 = -(k11 * h12 + k12 * h22)
-                i21 = -(k21 * h11 + k22 * h21)
-                i22 = 1.0 - (k21 * h12 + k22 * h22)
-                cxx_u = i11 * sxx + i12 * sxy
-                cxy_u = 0.5 * ((i11 * sxy + i12 * syy) + (i21 * sxx + i22 * sxy))
-                cyy_u = i21 * sxy + i22 * syy
+        # --- allocation init at alloc lanes --------------------------------
+        ang = pth + zphi_b
+        ca = jnp.cos(ang)
+        sa = jnp.sin(ang)
+        nx = px + zr_b * ca
+        ny = py + zr_b * sa
+        zr2 = zr_b * zr_b
+        n_cxx = init_infl * (r11 * ca * ca + r22 * zr2 * sa * sa)
+        n_cxy = init_infl * ((r11 - r22 * zr2) * ca * sa)
+        n_cyy = init_infl * (r11 * sa * sa + r22 * zr2 * ca * ca)
 
-                # --- allocation init at alloc lanes ------------------------
-                ang = pth + zphi_b
-                ca = jnp.cos(ang)
-                sa = jnp.sin(ang)
-                nx = px + zr_b * ca
-                ny = py + zr_b * sa
-                zr2 = zr_b * zr_b
-                n_cxx = init_infl * (r11 * ca * ca + r22 * zr2 * sa * sa)
-                n_cxy = init_infl * ((r11 - r22 * zr2) * ca * sa)
-                n_cyy = init_infl * (r11 * sa * sa + r22 * zr2 * ca * ca)
+        mxf = jnp.where(upd_m, mx_u, jnp.where(alloc_m, nx, mx))
+        myf = jnp.where(upd_m, my_u, jnp.where(alloc_m, ny, my))
+        cxxf = jnp.where(upd_m, cxx_u, jnp.where(alloc_m, n_cxx, sxx))
+        cxyf = jnp.where(upd_m, cxy_u, jnp.where(alloc_m, n_cxy, sxy))
+        cyyf = jnp.where(upd_m, cyy_u, jnp.where(alloc_m, n_cyy, syy))
+        lc_old = lc_o[:, sl]
+        lcf = jnp.where(upd_m, lc_old + 2.0, jnp.where(alloc_m, 1.0, lc_old))
+        lvf = jnp.where(alloc_m, 1.0, lv_o[:, sl])
 
-                mx_o[:, sl] = jnp.where(upd_m, mx_u, jnp.where(alloc_m, nx, mx))
-                my_o[:, sl] = jnp.where(upd_m, my_u, jnp.where(alloc_m, ny, my))
-                cxx_o[:, sl] = jnp.where(
-                    upd_m, cxx_u, jnp.where(alloc_m, n_cxx, sxx)
+        if S:
+            cnt = jnp.maximum(lcf, 1.0)
+            for s in range(S):
+                so = sig_out[s][:, sl]
+                sig_u = so + (sig_b[s] - so) / cnt
+                sig_out[s][:, sl] = jnp.where(
+                    upd_m, sig_u, jnp.where(alloc_m, sig_b[s], so)
                 )
-                cxy_o[:, sl] = jnp.where(
-                    upd_m, cxy_u, jnp.where(alloc_m, n_cxy, sxy)
-                )
-                cyy_o[:, sl] = jnp.where(
-                    upd_m, cyy_u, jnp.where(alloc_m, n_cyy, syy)
-                )
-                lc_old = lc_o[:, sl]
-                lc_new = jnp.where(
-                    upd_m, lc_old + 2.0, jnp.where(alloc_m, 1.0, lc_old)
-                )
-                lc_o[:, sl] = lc_new
-                if S:
-                    cnt = jnp.maximum(lc_new, 1.0)
-                    for s in range(S):
-                        so = sig_out[s][:, sl]
-                        sig_u = so + (sig_b[s] - so) / cnt
-                        sig_out[s][:, sl] = jnp.where(
-                            upd_m, sig_u, jnp.where(alloc_m, sig_b[s], so)
-                        )
-                lv_o[:, sl] = jnp.where(alloc_m, 1.0, lv_o[:, sl])
-                matched_s[:, sl] = jnp.where(
-                    already, 1.0, matched_s[:, sl]
-                )
-                return 0
 
-            jax.lax.fori_loop(0, ncw, chunk_body, 0, unroll=False)
+        # --- FOV cull, fused into round 1 (exact: collision rounds only
+        # touch matched lanes, which are never cull-decremented) ------------
+        if cull and first_round:
+            dxc = mxf - px
+            dyc = myf - py
+            rc = jnp.sqrt(dxc * dxc + dyc * dyc + 1e-12)
+            phi = _wrap(_atan2(dyc, dxc) - pth)
+            in_fov = (rc < max_range) & (jnp.abs(phi) < fov_half)
+            dec = (
+                (lvf > 0)
+                & (lanes < num_landmarks)
+                & in_fov
+                & ~already
+            )
+            lcf = lcf - dec.astype(jnp.float32)
+            lvf = jnp.where((lvf > 0) & (lcf >= 0.0), 1.0, 0.0)
 
+        mx_o[:, sl] = mxf
+        my_o[:, sl] = myf
+        cxx_o[:, sl] = cxxf
+        cxy_o[:, sl] = cxyf
+        cyy_o[:, sl] = cyyf
+        lc_o[:, sl] = lcf
+        lv_o[:, sl] = lvf
+
+    def round1_chunk(c, _):
+        apply_chunk(c, first_round=True)
         return 0
 
-    # Z rounds worst-case; rounds after the last pending obs are skipped at
-    # runtime by the pl.when predicate (zero plane work).
-    jax.lax.fori_loop(0, Z, round_body, 0)
+    jax.lax.fori_loop(0, ncw, round1_chunk, 0, unroll=False)
 
-    # ---- culling (active chunks only; virgin lanes are invalid) ----------
-    if cull:
-        def cull_chunk(c, _):
-            sl = pl.ds(c * chunk, chunk)
-            dx = mx_o[:, sl] - px
-            dy = my_o[:, sl] - py
-            r = jnp.sqrt(dx * dx + dy * dy + 1e-12)
-            phi = _wrap(_atan2(dy, dx) - pth)
-            in_fov = (r < max_range) & (jnp.abs(phi) < fov_half)
-            lv = lv_o[:, sl]
-            dec = (
-                (lv > 0)
-                & ((lane_c + c * chunk) < num_landmarks)
-                & in_fov
-                & (matched_s[:, sl] < 0.5)
-            )
-            lc = lc_o[:, sl] - dec.astype(jnp.float32)
-            lc_o[:, sl] = lc
-            lv_o[:, sl] = jnp.where((lv > 0) & (lc >= 0.0), 1.0, 0.0)
+    if Z > 1:
+        def round_body(_m, _):
+            pending = (done_s[:, :] < 0.5).astype(jnp.float32)
+            any_pending = jnp.max(pending) > 0.0
+
+            @pl.when(any_pending)
+            def _():
+                def chunk_body(c, _):
+                    # skip chunks with no pending target lane
+                    lo = (c * ac).astype(jnp.float32)
+                    hi = ((c + 1) * ac).astype(jnp.float32)
+                    in_c = (
+                        (done_s[:, :] < 0.5)
+                        & (tgt_s[:, :] >= lo)
+                        & (tgt_s[:, :] < hi)
+                    )
+                    has_t = jnp.max(in_c.astype(jnp.float32)) > 0.0
+
+                    @pl.when(has_t)
+                    def _():
+                        apply_chunk(c, first_round=False)
+
+                    return 0
+
+                jax.lax.fori_loop(0, ncw, chunk_body, 0, unroll=False)
+
             return 0
 
-        jax.lax.fori_loop(0, ncw, cull_chunk, 0, unroll=False)
+        # Z-1 further rounds worst-case; rounds after the last pending obs
+        # are skipped at runtime by the pl.when predicate.
+        jax.lax.fori_loop(1, Z, round_body, 0)
 
 
 def _round_up(x, m):
@@ -448,19 +479,20 @@ def measurement_update_2d(
 
     n_aliased = 6 + sig_dim + 2  # logw, 5 geom planes, sigs, valid, count
 
-    # chunk MUST divide Lp (the landmark axis is tiled in exact chunks).
-    chunk = next(
-        c for c in (2048, 1024, 512, 384, 256, 128) if Lp % c == 0
-    ) if Lp > 2048 else Lp
+    # chunk sizes MUST divide Lp (the landmark axis is tiled exactly).
+    # sc: scoring chunk (geometry lives in registers across the obs loop —
+    # small enough to bound register pressure); ac: apply chunk.
+    sc = next(c for c in (2048, 1024, 512, 256, 128) if Lp % c == 0)
+    ac = next(c for c in (1024, 512, 256, 128) if Lp % c == 0)
 
-    # Active high-watermark: number of leading chunks that contain any
-    # ever-allocated lane.  Allocation is first-free-slot, so all valid
-    # lanes live below the watermark; the kernel's dynamic trip counts
-    # skip everything above it.
+    # Active high-watermark in score-chunk units: number of leading chunks
+    # that contain any ever-allocated lane.  Allocation is first-free-slot,
+    # so all valid lanes live below the watermark; the kernel's dynamic
+    # trip counts skip everything above it.
     hi_lane = jnp.max(
         jnp.where(lm_valid, jnp.arange(L, dtype=jnp.int32)[None, :], -1)
     )
-    nca = jnp.clip((hi_lane + chunk) // chunk, 0, Lp // chunk).astype(jnp.int32)
+    nca = jnp.clip((hi_lane + sc) // sc, 0, Lp // sc).astype(jnp.int32)
 
     out_shape = (
         [jax.ShapeDtypeStruct((P, 1), jnp.float32)]
@@ -470,9 +502,9 @@ def measurement_update_2d(
 
     n_planes = 7 + sig_dim
     Zp = _round_up(max(Z, 128), 128)
-    budget = 12 * 1024 * 1024
-    # in+out x2buf + 6 cache planes + matched plane
-    per_particle = (2 * 2 * n_planes * Lp + 7 * Lp) * 4
+    budget = 48 * 1024 * 1024
+    # in+out x2buf planes + 2 per-obs argmax accumulators + narrow scratch
+    per_particle = (2 * 2 * n_planes * Lp + 2 * Z * 128 + 6 * Zp) * 4
     cands = [d for d in range(1, P + 1) if P % d == 0 and (d % 8 == 0 or d == P)]
     fits = [d for d in cands if d * per_particle <= budget]
     Pt = max(fits) if fits else min(cands)
@@ -492,9 +524,8 @@ def measurement_update_2d(
     )
     out_specs = tuple([row(1)] + [plane()] * (5 + sig_dim + 2) + [row(1)])
     scratch = (
-        [pltpu.VMEM((Pt, Lp), jnp.float32) for _ in range(6)]   # score cache
-        + [pltpu.VMEM((Pt, Zp), jnp.float32) for _ in range(6)]  # narrow
-        + [pltpu.VMEM((Pt, Lp), jnp.float32)]                    # matched
+        [pltpu.VMEM((Pt, Zp), jnp.float32) for _ in range(6)]      # narrow
+        + [pltpu.VMEM((Pt, Z * 128), jnp.float32) for _ in range(2)]  # argmax
     )
 
     kernel = functools.partial(
@@ -502,7 +533,8 @@ def measurement_update_2d(
         sig_dim=sig_dim,
         num_obs=Z,
         num_landmarks=L,
-        chunk=chunk,
+        sc=sc,
+        ac=ac,
         r_var=r_var,
         sig_var=sig_var,
         log_p0=log_p0,
