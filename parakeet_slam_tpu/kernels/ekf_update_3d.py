@@ -271,12 +271,6 @@ def _ut_idx(Dz):
     return _UT2 if Dz == 2 else _COV_IDX
 
 
-def n_cache_planes(Dz: int) -> int:
-    """zhat (Dz) + Qinv upper-tri + logdet — the per-landmark likelihood
-    cache carried across the frame's observation loop."""
-    return Dz + (Dz * (Dz + 1)) // 2 + 1
-
-
 def _predict_qi(model, m, S, R, t, par, r_var, Dz):
     """(zhat, Qinv, logdet) at landmark state (m, S) — the quantities the
     likelihood sweep needs, computed identically in [Pt, chunk] cache-fill
@@ -321,7 +315,8 @@ def _kernel(
     desc_words: int,
     num_obs: int,
     num_landmarks: int,
-    chunk: int,
+    sc: int,
+    ac: int,
     par: dict,
     r_var: tuple,
     desc_weight: float,
@@ -346,15 +341,8 @@ def _kernel(
     lv_o, lc_o = out[10 + W], out[11 + W]
     nmatch_o = out[12 + W]
     scratch = out[13 + W :]
-    NQ = (Dz * (Dz + 1)) // 2
-    n_cache = Dz + NQ + 1
-    zh_s = scratch[:Dz]
-    qi_s = scratch[Dz : Dz + NQ]
-    ld_s = scratch[Dz + NQ]
-    top_ll, top_ix, fs_s, tgt_s, new_s, done_s = scratch[n_cache : n_cache + 6]
-    matched_s = scratch[n_cache + 6]
-    lastj_s = scratch[n_cache + 7]
-    UT = _ut_idx(Dz)
+    top_ll, top_ix, fs_s, tgt_s, new_s, done_s = scratch[0:6]
+    lastj_s = scratch[6]
 
     P, L = mean_o[0].shape
     Z = num_obs
@@ -370,7 +358,6 @@ def _kernel(
     lv_o[:, :] = lv_ref[:, :]
     lc_o[:, :] = lc_ref[:, :]
     nmatch_o[:, :] = jnp.zeros((P, 1), jnp.float32)
-    matched_s[:, :] = jnp.zeros((P, L), jnp.float32)
     lastj_s[:, :] = jnp.full((P, L), -1.0, jnp.float32)
     top_ll[:, :] = jnp.full(top_ll.shape, _NEG_INF, jnp.float32)
     top_ix[:, :] = jnp.zeros(top_ix.shape, jnp.float32)
@@ -380,39 +367,29 @@ def _kernel(
     Rt = _transpose(R)
     t = [cam_ref[:, 9 + k : 10 + k] for k in range(3)]
 
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (P, chunk), 1)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (P, sc), 1)
+    lane_a = jax.lax.broadcasted_iota(jnp.int32, (P, ac), 1)
     obs_lane = jax.lax.broadcasted_iota(jnp.int32, top_ll.shape, 1)
 
-    nca = hi_ref[0]
-    hi_c = nca * chunk
-    ncw = jnp.minimum(nca + 1, L // chunk)
+    nca = hi_ref[0]                      # active score-chunks
+    hi_c = nca * sc                      # first fully-virgin lane
+    nca_a = (hi_c + ac - 1) // ac        # active apply-chunks
+    ncw = jnp.minimum(nca_a + 1, L // ac)  # apply/write bound
 
-    # ---- pass 0: scoring cache over active chunks ------------------------
-    def cache_chunk(c, _):
-        sl = pl.ds(c * chunk, chunk)
+    # ---- pass 1: fused geometry + scoring over active chunks -------------
+    # Per chunk: compute (zhat, Qinv, logdet) once into live values, then
+    # evaluate all Z observations against them (see kernels/ekf_update.py
+    # v3 docstring — same schedule, no VMEM cache roundtrip).
+    def score_chunk(c, _):
+        sl = pl.ds(c * sc, sc)
         m = [mean_o[k][:, sl] for k in range(3)]
         S = [[cov_o[_COV_IDX[(a, b)]][:, sl] for b in range(3)]
              for a in range(3)]
-        zhat, Qi, ld = _predict_qi(model, m, S, R, t, par, r_var, Dz)
-        for k in range(Dz):
-            zh_s[k][:, sl] = zhat[k]
-        for a in range(Dz):
-            for b in range(a, Dz):
-                qi_s[UT[(a, b)]][:, sl] = Qi[a][b]
-        ok = (lv_o[:, sl] > 0) & ((lane_c + c * chunk) < num_landmarks)
-        ld_s[:, sl] = jnp.where(ok, ld, -2.0 * _NEG_INF)  # +2e30 sinks invalid ll
-        return 0
-
-    jax.lax.fori_loop(0, nca, cache_chunk, 0, unroll=False)
-
-    # ---- pass 1: score every obs against the pre-frame map ---------------
-    def score_chunk(c, _):
-        sl = pl.ds(c * chunk, chunk)
-        zhat = [zh_s[k][:, sl] for k in range(Dz)]
-        Qi = [[qi_s[UT[(a, b)]][:, sl] for b in range(Dz)]
-              for a in range(Dz)]
-        ld = ld_s[:, sl]
-        lanes = lane_c + c * chunk
+        zhat, Qi, ld0 = _predict_qi(model, m, S, R, t, par, r_var, Dz)
+        lanes = lane_s + c * sc
+        ok = (lv_o[:, sl] > 0) & (lanes < num_landmarks)
+        ld = jnp.where(ok, ld0, -2.0 * _NEG_INF)  # +2e30 sinks invalid ll
+        descs = [desc_o[w][:, sl] for w in range(W)]
 
         for i in range(Z):
             zobs = [z_ref[i, k] for k in range(Dz)]
@@ -426,7 +403,7 @@ def _kernel(
             if W > 0:
                 ham = jnp.zeros_like(ll)
                 for w in range(W):
-                    x = jnp.bitwise_xor(desc_o[w][:, sl], dz_ref[i, w])
+                    x = jnp.bitwise_xor(descs[w], dz_ref[i, w])
                     ham = ham + jax.lax.population_count(x).astype(jnp.float32)
                 ll = ll - desc_weight * ham
             t1 = jnp.max(ll, axis=1, keepdims=True)
@@ -446,7 +423,7 @@ def _kernel(
     # ---- pass 2+3: free slots + vectorized association -------------------
     n_fs = min(Z, 64)
     ekf_common.fill_free_slots(
-        fs_s, lv_o, lane_c, chunk=chunk, nca=nca, hi_c=hi_c,
+        fs_s, lv_o, lane_s, chunk=sc, nca=nca, hi_c=hi_c,
         num_landmarks=num_landmarks, n_fs=n_fs, obs_lane=obs_lane,
     )
     valid_obs, is_new, ll1, n_assoc = ekf_common.associate(
@@ -460,135 +437,158 @@ def _kernel(
             jnp.where(valid_obs, dw, 0.0), axis=1, keepdims=True
         )
 
-    # ---- pass 4: per-lane sequential composition (collision rounds) ------
-    def round_body(_m, _):
-        pending = (done_s[:, :] < 0.5).astype(jnp.float32)
-        any_pending = jnp.max(pending) > 0.0
+    # ---- pass 4: apply (round 1 full with fused cull; collision rounds
+    # 2+ chunk-guarded) — see kernels/ekf_update.py v3 docstring ----------
+    def apply_chunk(c, first_round: bool):
+        sl = pl.ds(c * ac, ac)
+        lanes = lane_a + c * ac
+        lanes_f = lanes.astype(jnp.float32)
+        already = jnp.zeros((P, ac), jnp.bool_)
+        z_b = [jnp.zeros((P, ac), jnp.float32) for _ in range(Dz)]
+        isnew_b = jnp.zeros((P, ac), jnp.float32)
 
-        @pl.when(any_pending)
-        def _():
-            def chunk_body(c, _):
-                sl = pl.ds(c * chunk, chunk)
-                lanes_f = (lane_c + c * chunk).astype(jnp.float32)
-                already = jnp.zeros((P, chunk), jnp.bool_)
-                z_b = [jnp.zeros((P, chunk), jnp.float32) for _ in range(Dz)]
-                isnew_b = jnp.zeros((P, chunk), jnp.float32)
+        for i in range(Z):
+            hit = (
+                (tgt_s[:, i : i + 1] == lanes_f)
+                & (done_s[:, i : i + 1] < 0.5)
+                & ~already
+            )
+            already = already | hit
+            for k in range(Dz):
+                z_b[k] = jnp.where(hit, z_ref[i, k], z_b[k])
+            isnew_b = jnp.where(hit, new_s[:, i : i + 1], isnew_b)
+            lastj_s[:, sl] = jnp.where(hit, float(i), lastj_s[:, sl])
+            took = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
+            done_s[:, i : i + 1] = jnp.maximum(done_s[:, i : i + 1], took)
 
-                for i in range(Z):
-                    hit = (
-                        (tgt_s[:, i : i + 1] == lanes_f)
-                        & (done_s[:, i : i + 1] < 0.5)
-                        & ~already
-                    )
-                    already = already | hit
-                    for k in range(Dz):
-                        z_b[k] = jnp.where(hit, z_ref[i, k], z_b[k])
-                    isnew_b = jnp.where(hit, new_s[:, i : i + 1], isnew_b)
-                    lastj_s[:, sl] = jnp.where(hit, float(i), lastj_s[:, sl])
-                    took = jnp.max(
-                        hit.astype(jnp.float32), axis=1, keepdims=True
-                    )
-                    done_s[:, i : i + 1] = jnp.maximum(
-                        done_s[:, i : i + 1], took
-                    )
+        upd_m = already & (isnew_b < 0.5)
+        alloc_m = already & (isnew_b > 0.5)
 
-                upd_m = already & (isnew_b < 0.5)
-                alloc_m = already & (isnew_b > 0.5)
+        # --- EKF update at matched lanes (same op order as v1) ------------
+        m_b = [mean_o[k][:, sl] for k in range(3)]
+        S = [[cov_o[_COV_IDX[(a, b)]][:, sl] for b in range(3)]
+             for a in range(3)]
+        p = _cam_point(R, t, m_b)
+        zhat, H = _model_hH(model, p, R, par)
+        nu = _model_residual(model, z_b, zhat, par)
+        HS = _matmul(H, S)
+        Q = _matmul(HS, _transpose(H))
+        for k in range(Dz):
+            Q[k][k] = Q[k][k] + r_var[k]
+        Qi, _ = _sym_inv_det(Q)
+        SHt = _transpose(HS)
+        K = _matmul(SHt, Qi)
+        m_u = [m_b[k] + sum(K[k][a] * nu[a] for a in range(Dz))
+               for k in range(3)]
+        KH = _matmul(K, H)
+        IKH = [[(1.0 if a == b else 0.0) - KH[a][b] for b in range(3)]
+               for a in range(3)]
+        Snew = _matmul(IKH, S)
+        c_u6 = [
+            0.5 * (Snew[0][0] + Snew[0][0]),
+            0.5 * (Snew[0][1] + Snew[1][0]),
+            0.5 * (Snew[0][2] + Snew[2][0]),
+            0.5 * (Snew[1][1] + Snew[1][1]),
+            0.5 * (Snew[1][2] + Snew[2][1]),
+            0.5 * (Snew[2][2] + Snew[2][2]),
+        ]
 
-                # --- EKF update at matched lanes (same op order as v1) ----
-                m_b = [mean_o[k][:, sl] for k in range(3)]
-                S = [[cov_o[_COV_IDX[(a, b)]][:, sl] for b in range(3)]
-                     for a in range(3)]
-                p = _cam_point(R, t, m_b)
-                zhat, H = _model_hH(model, p, R, par)
-                nu = _model_residual(model, z_b, zhat, par)
-                HS = _matmul(H, S)
-                Q = _matmul(HS, _transpose(H))
-                for k in range(Dz):
-                    Q[k][k] = Q[k][k] + r_var[k]
-                Qi, _ = _sym_inv_det(Q)
-                SHt = _transpose(HS)
-                K = _matmul(SHt, Qi)
-                m_u = [m_b[k] + sum(K[k][a] * nu[a] for a in range(Dz))
-                       for k in range(3)]
-                KH = _matmul(K, H)
-                IKH = [[(1.0 if a == b else 0.0) - KH[a][b] for b in range(3)]
-                       for a in range(3)]
-                Snew = _matmul(IKH, S)
-                c_u6 = [
-                    0.5 * (Snew[0][0] + Snew[0][0]),
-                    0.5 * (Snew[0][1] + Snew[1][0]),
-                    0.5 * (Snew[0][2] + Snew[2][0]),
-                    0.5 * (Snew[1][1] + Snew[1][1]),
-                    0.5 * (Snew[1][2] + Snew[2][1]),
-                    0.5 * (Snew[2][2] + Snew[2][2]),
-                ]
+        # --- allocation init at alloc lanes -------------------------------
+        m_n, c_n6 = _model_init(
+            model, z_b, R, Rt, t, par, r_var, init_infl,
+            init_range_prior, init_range_sigma,
+        )
 
-                # --- allocation init at alloc lanes -----------------------
-                m_n, c_n6 = _model_init(
-                    model, z_b, R, Rt, t, par, r_var, init_infl,
-                    init_range_prior, init_range_sigma,
-                )
+        m_f = [
+            jnp.where(upd_m, m_u[k], jnp.where(alloc_m, m_n[k], m_b[k]))
+            for k in range(3)
+        ]
+        lc_old = lc_o[:, sl]
+        lcf = jnp.where(upd_m, lc_old + 2.0, jnp.where(alloc_m, 1.0, lc_old))
+        lvf = jnp.where(alloc_m, 1.0, lv_o[:, sl])
 
-                for k in range(3):
-                    mean_o[k][:, sl] = jnp.where(
-                        upd_m, m_u[k], jnp.where(alloc_m, m_n[k], m_b[k])
-                    )
-                for k in range(6):
-                    cov_o[k][:, sl] = jnp.where(
-                        upd_m, c_u6[k],
-                        jnp.where(alloc_m, c_n6[k], cov_o[k][:, sl]),
-                    )
-                lc_old = lc_o[:, sl]
-                lc_o[:, sl] = jnp.where(
-                    upd_m, lc_old + 2.0, jnp.where(alloc_m, 1.0, lc_old)
-                )
-                lv_o[:, sl] = jnp.where(alloc_m, 1.0, lv_o[:, sl])
-                matched_s[:, sl] = jnp.where(already, 1.0, matched_s[:, sl])
-                return 0
+        for k in range(6):
+            cov_o[k][:, sl] = jnp.where(
+                upd_m, c_u6[k],
+                jnp.where(alloc_m, c_n6[k], cov_o[k][:, sl]),
+            )
 
-            jax.lax.fori_loop(0, ncw, chunk_body, 0, unroll=False)
+        # --- FOV cull, fused into round 1 (exact: collision rounds only
+        # touch matched lanes, which are never cull-decremented) ------------
+        if cull and first_round:
+            pc = _cam_point(R, t, m_f)
+            zh_c = _model_zhat(model, pc, par)
+            in_fov = _model_in_fov(model, pc, zh_c, par, max_range)
+            dec = (
+                (lvf > 0)
+                & (lanes < num_landmarks)
+                & in_fov
+                & ~already
+            )
+            lcf = lcf - dec.astype(jnp.float32)
+            lvf = jnp.where((lvf > 0) & (lcf >= 0.0), 1.0, 0.0)
 
+        for k in range(3):
+            mean_o[k][:, sl] = m_f[k]
+        lc_o[:, sl] = lcf
+        lv_o[:, sl] = lvf
+
+    def round1_chunk(c, _):
+        apply_chunk(c, first_round=True)
         return 0
 
-    jax.lax.fori_loop(0, Z, round_body, 0)
+    jax.lax.fori_loop(0, ncw, round1_chunk, 0, unroll=False)
+
+    if Z > 1:
+        def round_body(_m, _):
+            pending = (done_s[:, :] < 0.5).astype(jnp.float32)
+            any_pending = jnp.max(pending) > 0.0
+
+            @pl.when(any_pending)
+            def _():
+                def chunk_body(c, _):
+                    lo = (c * ac).astype(jnp.float32)
+                    hi = ((c + 1) * ac).astype(jnp.float32)
+                    in_c = (
+                        (done_s[:, :] < 0.5)
+                        & (tgt_s[:, :] >= lo)
+                        & (tgt_s[:, :] < hi)
+                    )
+                    has_t = jnp.max(in_c.astype(jnp.float32)) > 0.0
+
+                    @pl.when(has_t)
+                    def _():
+                        apply_chunk(c, first_round=False)
+
+                    return 0
+
+                jax.lax.fori_loop(0, ncw, chunk_body, 0, unroll=False)
+
+            return 0
+
+        jax.lax.fori_loop(1, Z, round_body, 0)
 
     # ---- pass 5: latest-wins descriptor refresh at touched lanes ---------
+    # (must run after ALL rounds: collided lanes take the LAST obs's
+    # descriptor).  Chunks with no touched lane skip the select ladder.
     if W > 0:
         def desc_chunk(c, _):
-            sl = pl.ds(c * chunk, chunk)
+            sl = pl.ds(c * ac, ac)
             lj = lastj_s[:, sl]
-            for i in range(Z):
-                m = lj == float(i)
-                for w in range(W):
-                    desc_o[w][:, sl] = jnp.where(
-                        m, dz_ref[i, w], desc_o[w][:, sl]
-                    )
+            any_touched = jnp.max(lj) >= 0.0
+
+            @pl.when(any_touched)
+            def _():
+                for i in range(Z):
+                    m = lj == float(i)
+                    for w in range(W):
+                        desc_o[w][:, sl] = jnp.where(
+                            m, dz_ref[i, w], desc_o[w][:, sl]
+                        )
+
             return 0
 
         jax.lax.fori_loop(0, ncw, desc_chunk, 0, unroll=False)
-
-    # ---- culling (active chunks only) -------------------------------------
-    if cull:
-        def cull_chunk(c, _):
-            sl = pl.ds(c * chunk, chunk)
-            m = [mean_o[k][:, sl] for k in range(3)]
-            p = _cam_point(R, t, m)
-            zhat = _model_zhat(model, p, par)
-            in_fov = _model_in_fov(model, p, zhat, par, max_range)
-            lv = lv_o[:, sl]
-            dec = (
-                (lv > 0)
-                & ((lane_c + c * chunk) < num_landmarks)
-                & in_fov
-                & (matched_s[:, sl] < 0.5)
-            )
-            lc = lc_o[:, sl] - dec.astype(jnp.float32)
-            lc_o[:, sl] = lc
-            lv_o[:, sl] = jnp.where((lv > 0) & (lc >= 0.0), 1.0, 0.0)
-            return 0
-
-        jax.lax.fori_loop(0, ncw, cull_chunk, 0, unroll=False)
 
 
 def _round_up(x, m):
@@ -675,22 +675,21 @@ def measurement_update_3d(
     )
 
     n_planes = 11 + W
-    # chunk MUST divide Lp (the landmark axis is tiled in exact chunks).
-    chunk = next(
-        c for c in (1024, 512, 384, 256, 128) if Lp % c == 0
-    ) if Lp > 1024 else Lp
+    # chunk sizes MUST divide Lp (the landmark axis is tiled exactly);
+    # sc: scoring chunk, ac: apply chunk (see kernels/ekf_update.py v3).
+    sc = next(c for c in (2048, 1024, 512, 256, 128) if Lp % c == 0)
+    ac = next(c for c in (1024, 512, 256, 128) if Lp % c == 0)
 
     # Active high-watermark (see kernels/ekf_update.py): leading chunks
     # that contain any ever-allocated lane.
     hi_lane = jnp.max(
         jnp.where(lm_valid, jnp.arange(L, dtype=jnp.int32)[None, :], -1)
     )
-    nca = jnp.clip((hi_lane + chunk) // chunk, 0, Lp // chunk).astype(jnp.int32)
+    nca = jnp.clip((hi_lane + sc) // sc, 0, Lp // sc).astype(jnp.int32)
 
-    n_cache = n_cache_planes(Dz)
     Zp = _round_up(max(Z, 128), 128)
-    budget = 12 * 1024 * 1024
-    per_particle = (2 * 2 * n_planes * Lp + (n_cache + 2) * Lp) * 4
+    budget = 48 * 1024 * 1024
+    per_particle = (2 * 2 * n_planes * Lp + 1 * Lp + 6 * Zp) * 4
     cands = [d for d in range(1, P + 1) if P % d == 0 and (d % 8 == 0 or d == P)]
     fits = [d for d in cands if d * per_particle <= budget]
     Pt = max(fits) if fits else min(cands)
@@ -712,9 +711,8 @@ def measurement_update_3d(
     )
     out_specs = tuple([row(1)] + [plane()] * (9 + W + 2) + [row(1)])
     scratch = (
-        [pltpu.VMEM((Pt, Lp), jnp.float32) for _ in range(n_cache)]
-        + [pltpu.VMEM((Pt, Zp), jnp.float32) for _ in range(6)]  # narrow
-        + [pltpu.VMEM((Pt, Lp), jnp.float32) for _ in range(2)]  # matched, lastj
+        [pltpu.VMEM((Pt, Zp), jnp.float32) for _ in range(6)]   # narrow
+        + [pltpu.VMEM((Pt, Lp), jnp.float32)]                    # lastj
     )
 
     kernel = functools.partial(
@@ -724,7 +722,8 @@ def measurement_update_3d(
         desc_words=W,
         num_obs=Z,
         num_landmarks=L,
-        chunk=chunk,
+        sc=sc,
+        ac=ac,
         par=par,
         r_var=tuple(r_var),
         desc_weight=desc_weight,
