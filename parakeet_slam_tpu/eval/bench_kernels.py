@@ -160,9 +160,11 @@ def bench_match(N=1024, M=131072, W=8):
         return match.hamming_top2(qd, db, valid, interpret=interpret)
 
     dt = _time_call(call, reps=5)
-    # db streamed once per 128-query tile
-    bytes_moved = (N // 128) * M * W * 4 + N * W * 4
-    flops = N * M * W * 3  # xor + popcount + add
+    # db streams PACKED exactly once (in-kernel unpack); q bit-planes r+w
+    bytes_moved = M * W * 4 + N * W * 4 + 2 * N * W * 32 * 2
+    # MXU work actually dispatched: the bit-dot identity runs a
+    # [N, W*32] x [M, W*32] matmul (2 flops/MAC)
+    flops = N * M * (2 * W * 32)
     return dt, bytes_moved, flops
 
 

@@ -198,29 +198,135 @@ def _dist_top2(q_feat, db_feat, qn, dn, db_valid, interpret):
     return bi[:N, 0], b1[:N, 0], b2[:N, 0]
 
 
+def _hamming_packed_kernel(
+    q_ref, dbp_ref, qn_ref, dn_ref, valid_ref, bi_ref, b1_ref, b2_ref,
+    db_bits, *, tm, w_words
+):
+    """One (db-tile, query-tile) step with the database kept PACKED in HBM.
+
+    Grid is (M-tiles, N-tiles) with queries innermost: each packed db tile
+    [TM, W] uint32 is unpacked to 0/1 bf16 bit-planes in VMEM scratch once
+    (at i == 0) and reused by every query tile — HBM sees W*4 bytes per
+    descriptor instead of the 32 bytes/descriptor of pre-unpacked planes.
+    The bit-dot itself is an NT-form MXU matmul against the scratch tile.
+    """
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    TN = q_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+        for w in range(w_words):
+            bits = (dbp_ref[:, w : w + 1] >> shifts) & jnp.uint32(1)
+            # Mosaic has no uint32->bf16 cast; hop through int32.
+            db_bits[:, 32 * w : 32 * (w + 1)] = bits.astype(jnp.int32).astype(
+                jnp.bfloat16
+            )
+
+    cross = jax.lax.dot_general(
+        q_ref[:, :], db_bits[:, :],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = qn_ref[:, :] + dn_ref[0:1, :] - 2.0 * cross
+    acc = jnp.where(valid_ref[0:1, :] > 0, acc, _BIG_F)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TN, tm), 1)
+    t1 = jnp.min(acc, axis=1, keepdims=True)
+    is_min = acc == t1
+    idx_local = jnp.min(jnp.where(is_min, lane, _BIG), axis=1, keepdims=True)
+    masked = jnp.where(lane == idx_local, _BIG_F, acc)
+    t2 = jnp.min(masked, axis=1, keepdims=True)
+    gidx = idx_local + j * tm
+
+    @pl.when(j == 0)
+    def _():
+        bi_ref[:, :] = gidx
+        b1_ref[:, :] = t1
+        b2_ref[:, :] = t2
+
+    @pl.when(j > 0)
+    def _():
+        b1 = b1_ref[:, :]
+        b2 = b2_ref[:, :]
+        bi = bi_ref[:, :]
+        bi_ref[:, :] = jnp.where(t1 < b1, gidx, bi)
+        b1_ref[:, :] = jnp.minimum(b1, t1)
+        b2_ref[:, :] = jnp.minimum(jnp.maximum(b1, t1), jnp.minimum(b2, t2))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def hamming_top2(qd, db, db_valid, interpret: bool = False):
     """Per-query (best_idx, best, second) over the database, fused in-kernel.
 
     qd [N, W] uint32, db [M, W] uint32, db_valid [M] bool. Distances are
-    exact (fp32 accumulation of 0/1 bit-dots is integer-exact to 2^24).
+    exact (fp32 accumulation of 0/1 bit-dots is integer-exact to 2^24) via
+    popcount(a^b) = popcount(a) + popcount(b) - 2<bits(a), bits(b)>: the
+    popcounts enter as the "squared norms" of the shared distance form.
+    Only the small query side is unpacked in XLA; the database streams
+    packed and unpacks inside the kernel (see _hamming_packed_kernel).
     """
+    N, W = qd.shape
+    M = db.shape[0]
     q_bits = unpack_bits(qd)
-    db_bits = unpack_bits(db)
-    # popcounts enter as the "squared norms" of the bit-dot identity:
-    # ||a||^2 = popcount(a) for 0/1 vectors, so dist = qn + dn - 2 a.b
-    # IS the Hamming distance.
     qn = jnp.sum(
         jax.lax.population_count(qd).astype(jnp.int32), axis=1, keepdims=True
     ).astype(jnp.float32)
     dn = jnp.sum(
         jax.lax.population_count(db).astype(jnp.int32), axis=1, keepdims=True
     ).astype(jnp.float32).T
-    bi, b1, b2 = _dist_top2(q_bits, db_bits, qn, dn, db_valid, interpret)
+
+    # Large tiles: the per-grid-step fixed cost (~1 us) dominates at small
+    # tiles; 2048-wide db tiles with 256-query tiles cut the step count 8x
+    # while staying ~2.5 MB of VMEM.
+    TM = 4096 if M >= 4096 else _round_up(max(M, 128), 128)
+    Mp = _round_up(max(M, TM), TM)
+    if N <= 256:
+        Np = _round_up(max(N, 8), 8)
+        TN = Np
+    else:
+        TN = 256
+        Np = _round_up(N, TN)
+
+    q_p = jnp.pad(q_bits, ((0, Np - N), (0, 0)))
+    db_p = jnp.pad(db, ((0, Mp - M), (0, 0)))
+    qn_p = jnp.pad(qn, ((0, Np - N), (0, 0)))
+    dn_p = jnp.pad(dn, ((0, 0), (0, Mp - M)))
+    valid_p = jnp.pad(db_valid.astype(jnp.int32), (0, Mp - M))[None, :]
+
+    grid = (Mp // TM, Np // TN)
+    out_shape = (
+        jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+    )
+    bi, b1, b2 = pl.pallas_call(
+        functools.partial(_hamming_packed_kernel, tm=TM, w_words=W),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TN, W * 32), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, W), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((TM, W * 32), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_p, db_p, qn_p, dn_p, valid_p)
     to_i32 = lambda d: jnp.where(
         d >= _BIG_F / 2, _BIG, jnp.round(d).astype(jnp.int32)
     )
-    return bi, to_i32(b1), to_i32(b2)
+    return bi[:N, 0], to_i32(b1[:N, 0]), to_i32(b2[:N, 0])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
