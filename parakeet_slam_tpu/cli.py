@@ -78,7 +78,9 @@ def cmd_run(args):
         est = []
         for t in range(len(world)):
             est.append(sys_.process_frame(world.render(t), world.odom[t]))
-        est = np.stack(est)
+        est = np.asarray(jnp.stack(est))
+        sys_.flush_flags()
+        sys_.flush_metrics()
         # Filter gauge starts at identity; compose with gt[0] for world-frame
         # drift.
         from parakeet_slam_tpu.core import geometry
@@ -122,7 +124,12 @@ def cmd_run(args):
 
         sys_ = SLAMSystem(cfg)
         est = []
+        # warmup frames include jit compilation; steady-state fps is timed
+        # from frame `warm` (ADVICE r2: headline fps must not amortize
+        # compile time over short runs)
+        warm = min(3, max(0, n - 1))
         t_loop = time.time()
+        t_warm = t_loop
         for i in range(n):
             if stereo:
                 est.append(
@@ -132,12 +139,20 @@ def cmd_run(args):
                 )
             else:
                 est.append(sys_.process_frame(seq.image(i), odom[i]))
-        est = np.stack(est)
+            if i + 1 == warm:
+                jax.block_until_ready(est[-1])
+                t_warm = time.time()
+        # one batched device->host transfer for the whole trajectory
+        est = np.asarray(jnp.stack(est))
         wall = time.time() - t_loop
+        fps_ss = (n - warm) / max(time.time() - t_warm, 1e-9)
+        sys_.flush_flags()
+        sys_.flush_metrics()
         line = (
             f"frames={n} keyframes={len(sys_.keyframes)} "
             f"loop_closures={len(sys_.loop_closures)} "
-            f"fps={n / wall:.2f} wall={wall:.1f}s"
+            f"fps={fps_ss:.2f} (steady-state; incl-compile {n / wall:.2f}) "
+            f"wall={wall:.1f}s"
         )
         if gt is not None:
             ok = ~np.isnan(gt[:n, :3]).any(axis=1)
@@ -300,9 +315,18 @@ def main(argv=None):
     p_bench.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
-    if args.platform:
-        import jax
+    import os
 
+    import jax
+
+    # persistent XLA compilation cache: the vision system compiles ~40 small
+    # host-path programs around the first keyframes; over this device link a
+    # compile round-trip costs ~0.4 s each, so cold runs pay ~15 s once.
+    cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 

@@ -81,6 +81,7 @@ class TestPanoramicPipeline:
         sys_ = SLAMSystem(cfg)
         for t in range(3):
             sys_.process_frame(pano_world.render(t), pano_world.odom[t])
+        sys_.flush_metrics()
         sys_.metrics.flush()
         lines = (tmp_path / "m.jsonl").read_text().strip().splitlines()
         assert len(lines) == 3
