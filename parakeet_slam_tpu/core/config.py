@@ -56,6 +56,12 @@ class FilterConfig:
 
     # Resample when N_eff < resample_frac * P (systematic / low-variance).
     resample_frac: float = 0.5
+    # Likelihood tempering: the frame's log-weight increment is divided by
+    # this factor before resampling. Dense visual frames (tens of highly
+    # correlated keypoint observations) otherwise collapse the ESS to a
+    # handful of particles every frame (observed: ESS 5/512 on TUM-desk),
+    # turning the filter into dead reckoning. ~n_obs/8 is a good start.
+    likelihood_temper: float = 1.0
     # Landmark culling: counter decremented when in-FOV but unmatched;
     # slot freed when counter < 0 (SURVEY.md §3 step 4).
     cull_enabled: bool = True

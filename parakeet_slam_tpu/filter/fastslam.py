@@ -330,7 +330,15 @@ class FastSLAM:
         self, state: ParticleState, obs: Observation, key=None
     ) -> tuple[ParticleState, StepMetrics]:
         """Process a frame's observation batch; cull; adaptively resample."""
+        log_w0 = state.log_w
         state, mean_match = self.measurement_core(state, obs)
+        # Likelihood tempering (config.likelihood_temper): rescale the
+        # frame's log-weight increment. Applied to the delta so the SAME
+        # code covers the XLA path and the fused Pallas kernels (which
+        # update log_w internally).
+        T = self.cfg.likelihood_temper
+        if T != 1.0:
+            state = state.replace(log_w=log_w0 + (state.log_w - log_w0) / T)
         return self._resample_and_metrics(state, obs, mean_match, key)
 
     def measurement_core(

@@ -146,6 +146,8 @@ class SLAMSystem:
         self._fused_frame = jax.jit(self._fused_frame_impl)
         self._fused_stereo = jax.jit(self._fused_stereo_impl)
         self._fused_obs = jax.jit(self._fused_obs_impl)
+        self._kf_snapshot = jax.jit(self._kf_snapshot_impl)
+        self._horn_consensus = jax.jit(self._horn_consensus_impl)
         # device-side keyframe-motion reference ([7] pose; identity until the
         # first keyframe exists) so the keyframe test runs inside the fused
         # step — no per-frame host round-trip for se3_between/log.
@@ -157,10 +159,10 @@ class SLAMSystem:
         # keyframe flags are fetched in batches of `kf_flag_lag` frames: a
         # single scalar device->host fetch costs a full ~24 ms round-trip
         # on this link, so per-frame flag syncs alone would cap the system
-        # at ~40 fps. A flagged frame creates its keyframe <=lag frames
-        # late, from the then-current state/pose (the motion threshold is a
-        # trigger, not a timestamp). The first keyframe is never lagged.
-        self.kf_flag_lag = 8
+        # at ~40 fps. The keyframe pose is the FLAGGED frame's estimate
+        # (cadence preserved); only the map snapshot is <=lag frames newer.
+        # The first keyframe is never lagged.
+        self.kf_flag_lag = 4
         self._flag_pending: list[tuple] = []
         # Device-resident stacked keyframe descriptor store [capK, F, W] /
         # [capK, F], grown by doubling so loop closure is one batched match
@@ -198,21 +200,33 @@ class SLAMSystem:
 
     # -- keyframe / loop closure -----------------------------------------
 
-    def _make_keyframe(self, est_pose):
-        """Snapshot the best particle's map into the keyframe store."""
-        means, valid = self.slam.best_particle_map(self.state)
-        best = int(jnp.argmax(self.state.log_w))
-        desc = self.state.lm_desc[best]
+    def _kf_snapshot_impl(self, state, est_pose):
+        """Best-particle map snapshot in the keyframe frame — one jitted
+        program so keyframe creation costs one dispatch + one device_get
+        (the round-2 version issued ~6 separate fetches per keyframe at
+        ~24 ms round-trip each)."""
+        means, valid = self.slam.best_particle_map(state)
+        best = jnp.argmax(state.log_w)
+        desc = state.lm_desc[best]
         F = min(self.cfg.frontend.max_features, means.shape[0])
         pts_kf = jax.vmap(
-            lambda m: geometry.se3_apply_inverse(jnp.asarray(est_pose), m)
+            lambda m: geometry.se3_apply_inverse(est_pose, m)
         )(means[:F])
+        return pts_kf, desc[:F], valid[:F]
+
+    def _make_keyframe(self, est_pose):
+        """Snapshot the best particle's map into the keyframe store."""
+        est_pose = jnp.asarray(est_pose)
+        pts_kf, desc, valid = self._kf_snapshot(self.state, est_pose)
+        pose_np, pts_np, desc_np, valid_np = jax.device_get(
+            (est_pose, pts_kf, desc, valid)
+        )
         kf = Keyframe(
             index=len(self.keyframes),
-            pose=np.asarray(est_pose),
-            points_kf=np.asarray(pts_kf),
-            desc=np.asarray(desc[:F]),
-            valid=np.asarray(valid[:F]),
+            pose=pose_np,
+            points_kf=pts_np,
+            desc=desc_np,
+            valid=valid_np,
         )
         self.keyframes.append(kf)
         self._kf_store_append(kf)
@@ -286,7 +300,7 @@ class SLAMSystem:
             self._kf_desc_dev, self._kf_valid_dev & eligible[:, None],
             ratio=self.cfg.frontend.match_ratio, use_pallas=use_pallas,
         )
-        fwd, rev = np.asarray(fwd), np.asarray(rev)
+        fwd, rev = jax.device_get((fwd, rev))  # one round-trip
         F = fwd.shape[1]
         rows = np.arange(F)[None, :]
         mutual = (fwd >= 0) & (
@@ -298,30 +312,47 @@ class SLAMSystem:
         if counts[k_best] < min_matches:
             return False
         old = self.keyframes[k_best]
+        # fixed-capacity correspondence table so the jitted Horn consensus
+        # compiles once (padding rows start invalid)
+        pa = np.zeros((F, 3), np.float32)
+        pb = np.zeros((F, 3), np.float32)
         sel = np.where(mutual[k_best])[0]
-        pa = jnp.asarray(kf.points_kf[sel])                 # in kf frame
-        pb = jnp.asarray(old.points_kf[fwd[k_best, sel]])   # in old-kf frame
-        valid = np.ones((len(sel),), bool)
+        pa[: len(sel)] = kf.points_kf[sel]                  # in kf frame
+        pb[: len(sel)] = old.points_kf[fwd[k_best, sel]]    # in old-kf frame
+        valid0 = np.arange(F) < len(sel)
         # T such that p_old ≈ T(p_kf)  => Z_{old,kf} = T_old⁻¹ T_kf measured
-        rel = None
-        for _ in range(3):  # Horn + inlier re-fit (RANSAC-lite consensus)
-            if int(valid.sum()) < max(min_matches, 4):
-                return False
-            rel = graph_mod.estimate_relative_pose_3d3d(
-                pb, pa, jnp.asarray(valid)
+        rel, n_in = jax.device_get(
+            self._horn_consensus(
+                jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(valid0)
             )
-            fit = jax.vmap(lambda p: geometry.se3_apply(rel, p))(pa)
-            res = np.linalg.norm(np.asarray(fit) - np.asarray(pb), axis=1)
-            valid = res < self.cfg.backend.loop_inlier_radius
-        n_in = int(valid.sum())
-        if n_in < max(min_matches, 4):
+        )
+        if int(n_in) < max(min_matches, 4):
             return False
         self.graph = graph_mod.add_edge(
-            self.graph, old.index, kf.index, rel,
+            self.graph, old.index, kf.index, jnp.asarray(rel),
             info=jnp.full((6,), float(n_in)),
         )
         self.loop_closures.append((old.index, kf.index))
         return True
+
+    def _horn_consensus_impl(self, pa, pb, valid):
+        """Three rounds of Horn 3D-3D fit + inlier re-selection (RANSAC-lite
+        consensus), fully on device — one dispatch + one fetch instead of
+        the round-2 host loop's ~8 round-trips per closure candidate.
+        Matches the host-loop semantics: rounds always run; a collapsed
+        inlier set only shows up in the returned count (caller thresholds)."""
+        radius = self.cfg.backend.loop_inlier_radius
+
+        def round_(valid, _):
+            rel = graph_mod.estimate_relative_pose_3d3d(pb, pa, valid)
+            fit = jax.vmap(lambda p: geometry.se3_apply(rel, p))(pa)
+            res = jnp.linalg.norm(fit - pb, axis=1)
+            return res < radius, rel
+
+        valid1, _ = round_(valid, None)
+        valid2, _ = round_(valid1, None)
+        valid3, rel = round_(valid2, None)
+        return rel, jnp.sum(valid3.astype(jnp.int32))
 
     def _optimize_and_correct(self):
         self.graph, _ = pg_mod.optimize_pose_graph(
@@ -338,8 +369,9 @@ class SLAMSystem:
                 jax.vmap(lambda m: geometry.se3_apply(corr, m), in_axes=0)
             )(self.state.lm_mean),
         )
+        poses_np = jax.device_get(self.graph.poses[: len(self.keyframes)])
         for i, kf in enumerate(self.keyframes):
-            kf.pose = np.asarray(self.graph.poses[i])
+            kf.pose = poses_np[i]
 
     # -- fused per-frame device step --------------------------------------
     #
@@ -450,10 +482,10 @@ class SLAMSystem:
         flags = jax.device_get([f for _, f in pend])
         if not any(flags):
             return
-        est = pend[-1][0]
+        est = pend[int(np.argmax(flags))][0]  # first flagged frame's pose
         kf = self._make_keyframe(est)
-        self.last_kf_pose = np.asarray(est)
-        self._last_kf_dev = est
+        self.last_kf_pose = kf.pose
+        self._last_kf_dev = jnp.asarray(est)
         self._has_kf = True
         if self._try_loop_closure(kf):
             self._optimize_and_correct()
