@@ -322,7 +322,12 @@ def main(argv=None):
     # persistent XLA compilation cache: the vision system compiles ~40 small
     # host-path programs around the first keyframes; over this device link a
     # compile round-trip costs ~0.4 s each, so cold runs pay ~15 s once.
-    cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    # User-scoped location (overridable) — writing next to the package would
+    # pollute the repo in editable installs and fail on read-only
+    # site-packages (advisor r3).
+    cache = os.environ.get("PARAKEET_JAX_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "parakeet_slam_tpu", "jax"
+    )
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

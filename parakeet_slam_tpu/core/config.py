@@ -107,6 +107,12 @@ class BackendConfig:
     huber_delta: float = 2.0         # robust loss on reprojection residuals
     solver: str = "cholesky"         # cholesky | pcg for the reduced system
     loop_inlier_radius: float = 0.7  # Horn-fit consensus gate (meters)
+    # Loop-closure candidates must be at least this many FRAMES older than
+    # the querying keyframe (frame-based, not keyframe-index-based, so the
+    # gate is independent of keyframe cadence): nearby keyframes share
+    # viewpoint by construction and their "closures" are just noisy
+    # re-measurements of odometry, not loops.
+    loop_min_frame_gap: int = 20
 
 
 @dataclass(frozen=True)

@@ -240,16 +240,16 @@ def check_odd_capacity():
 
 
 # ------------------------------------------------------------------- matcher
-def check_match():
+def check_match(n=300, mm=700):
     key = jax.random.PRNGKey(3)
     kq, kd, kv = jax.random.split(key, 3)
-    qd = jax.random.randint(kq, (300, 8), 0, 2**31 - 1, jnp.int32).astype(
+    qd = jax.random.randint(kq, (n, 8), 0, 2**31 - 1, jnp.int32).astype(
         jnp.uint32
     )
-    db = jax.random.randint(kd, (700, 8), 0, 2**31 - 1, jnp.int32).astype(
+    db = jax.random.randint(kd, (mm, 8), 0, 2**31 - 1, jnp.int32).astype(
         jnp.uint32
     )
-    dbv = jax.random.bernoulli(kv, 0.9, (700,))
+    dbv = jax.random.bernoulli(kv, 0.9, (mm,))
     bi_p, b1_p, b2_p = match.hamming_top2(qd, db, dbv, interpret=False)
     bi_x, b1_x, b2_x = match.hamming_top2_xla(qd, db, dbv)
     np.testing.assert_array_equal(np.asarray(b1_p), np.asarray(b1_x))
@@ -277,6 +277,11 @@ def main() -> int:
         _check(f"ekf_update_3d[{model}]", lambda m=model, d=dz: check_3d(m, d))
     _check("ekf_update_3d odd capacity (Lp % chunk != 0)", check_odd_capacity)
     _check("hamming_top2 matcher", check_match)
+    # multi-tile merge: N > TN(256), M > TM(4096) — the round-3 kernel read
+    # back revisited output blocks here (unsupported on real TPUs)
+    _check(
+        "hamming_top2 matcher multi-tile", lambda: check_match(600, 9000)
+    )
     _check("resample gather_rows", check_resample_gather)
     if FAILURES:
         print(f"\n{len(FAILURES)} parity check(s) FAILED: {FAILURES}")

@@ -200,7 +200,7 @@ def _dist_top2(q_feat, db_feat, qn, dn, db_valid, interpret):
 
 def _hamming_packed_kernel(
     q_ref, dbp_ref, qn_ref, dn_ref, valid_ref, bi_ref, b1_ref, b2_ref,
-    db_bits, *, tm, w_words
+    db_bits, *, tm, tn, w_words
 ):
     """One (db-tile, query-tile) step with the database kept PACKED in HBM.
 
@@ -209,10 +209,17 @@ def _hamming_packed_kernel(
     (at i == 0) and reused by every query tile — HBM sees W*4 bytes per
     descriptor instead of the 32 bytes/descriptor of pre-unpacked planes.
     The bit-dot itself is an NT-form MXU matmul against the scratch tile.
+
+    The running top-2 state lives in FULL-array output blocks ([Np, 1],
+    constant index map) addressed by dynamic row slices: with queries
+    innermost, per-query-tile output blocks would be revisited
+    NON-consecutively across db tiles, which the TPU Pallas pipeline does
+    not support (stale reads on the j>0 merge whenever N > TN and M > TM —
+    the round-3 bug flagged by the advisor). A constant-index-map block
+    stays VMEM-resident for the whole grid, so the merge reads are sound.
     """
     j = pl.program_id(0)
     i = pl.program_id(1)
-    TN = q_ref.shape[0]
 
     @pl.when(i == 0)
     def _():
@@ -232,7 +239,7 @@ def _hamming_packed_kernel(
     acc = qn_ref[:, :] + dn_ref[0:1, :] - 2.0 * cross
     acc = jnp.where(valid_ref[0:1, :] > 0, acc, _BIG_F)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TN, tm), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
     t1 = jnp.min(acc, axis=1, keepdims=True)
     is_min = acc == t1
     idx_local = jnp.min(jnp.where(is_min, lane, _BIG), axis=1, keepdims=True)
@@ -240,20 +247,22 @@ def _hamming_packed_kernel(
     t2 = jnp.min(masked, axis=1, keepdims=True)
     gidx = idx_local + j * tm
 
+    rows = pl.dslice(i * tn, tn)
+
     @pl.when(j == 0)
     def _():
-        bi_ref[:, :] = gidx
-        b1_ref[:, :] = t1
-        b2_ref[:, :] = t2
+        bi_ref[rows, :] = gidx
+        b1_ref[rows, :] = t1
+        b2_ref[rows, :] = t2
 
     @pl.when(j > 0)
     def _():
-        b1 = b1_ref[:, :]
-        b2 = b2_ref[:, :]
-        bi = bi_ref[:, :]
-        bi_ref[:, :] = jnp.where(t1 < b1, gidx, bi)
-        b1_ref[:, :] = jnp.minimum(b1, t1)
-        b2_ref[:, :] = jnp.minimum(jnp.maximum(b1, t1), jnp.minimum(b2, t2))
+        b1 = b1_ref[rows, :]
+        b2 = b2_ref[rows, :]
+        bi = bi_ref[rows, :]
+        bi_ref[rows, :] = jnp.where(t1 < b1, gidx, bi)
+        b1_ref[rows, :] = jnp.minimum(b1, t1)
+        b2_ref[rows, :] = jnp.minimum(jnp.maximum(b1, t1), jnp.minimum(b2, t2))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -302,7 +311,7 @@ def hamming_top2(qd, db, db_valid, interpret: bool = False):
         jax.ShapeDtypeStruct((Np, 1), jnp.float32),
     )
     bi, b1, b2 = pl.pallas_call(
-        functools.partial(_hamming_packed_kernel, tm=TM, w_words=W),
+        functools.partial(_hamming_packed_kernel, tm=TM, tn=TN, w_words=W),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TN, W * 32), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
@@ -312,9 +321,9 @@ def hamming_top2(qd, db, db_valid, interpret: bool = False):
             pl.BlockSpec((1, TM), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((TM, W * 32), jnp.bfloat16)],

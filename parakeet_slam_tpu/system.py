@@ -121,6 +121,7 @@ class Keyframe:
     points_kf: np.ndarray     # [F, 3] landmark positions in keyframe frame
     desc: np.ndarray          # [F, W] packed descriptors
     valid: np.ndarray         # [F]
+    frame: int = 0            # source frame index (loop-closure recency gate)
 
 
 @dataclass
@@ -148,20 +149,28 @@ class SLAMSystem:
         self._fused_obs = jax.jit(self._fused_obs_impl)
         self._kf_snapshot = jax.jit(self._kf_snapshot_impl)
         self._horn_consensus = jax.jit(self._horn_consensus_impl)
-        # device-side keyframe-motion reference ([7] pose; identity until the
-        # first keyframe exists) so the keyframe test runs inside the fused
-        # step — no per-frame host round-trip for se3_between/log.
+        # Device-side keyframe-motion reference ([7] pose; identity until the
+        # first keyframe exists). The keyframe test AND the reference update
+        # both run inside the fused step: when a frame trips the motion
+        # threshold its own estimate becomes the new reference, device-side,
+        # so the keyframe CADENCE is a pure function of the frame sequence —
+        # independent of when the host happens to drain the flag window
+        # (round-3 regression: checkpoint-time flushes changed the keyframe
+        # set, tests/test_checkpoint_resume.py).
         self._last_kf_dev = jnp.zeros((7,)).at[6].set(1.0)
         self._has_kf = False
         # metrics stay device arrays until flushed (one transfer per flush
         # instead of 4 blocking float() syncs per frame)
         self._metrics_pending: list[tuple] = []
-        # keyframe flags are fetched in batches of `kf_flag_lag` frames: a
+        # Keyframe flags are fetched in batches of `kf_flag_lag` frames: a
         # single scalar device->host fetch costs a full ~24 ms round-trip
         # on this link, so per-frame flag syncs alone would cap the system
-        # at ~40 fps. The keyframe pose is the FLAGGED frame's estimate
-        # (cadence preserved); only the map snapshot is <=lag frames newer.
-        # The first keyframe is never lagged.
+        # at ~40 fps. Flushes happen at ABSOLUTE frame-index boundaries
+        # (frame_idx % lag == 0), and each flagged frame carries its own
+        # in-step map snapshot, so both the keyframe set and the keyframe
+        # content are flush-timing-independent; a mid-window checkpoint
+        # persists the window instead of draining it. The first keyframe is
+        # never lagged.
         self.kf_flag_lag = 4
         self._flag_pending: list[tuple] = []
         # Device-resident stacked keyframe descriptor store [capK, F, W] /
@@ -214,10 +223,13 @@ class SLAMSystem:
         )(means[:F])
         return pts_kf, desc[:F], valid[:F]
 
-    def _make_keyframe(self, est_pose):
-        """Snapshot the best particle's map into the keyframe store."""
+    def _make_keyframe(self, est_pose, snap=None, frame=None):
+        """Materialize a keyframe from a map snapshot (the flagged frame's
+        in-step snapshot when given; otherwise the current state's)."""
         est_pose = jnp.asarray(est_pose)
-        pts_kf, desc, valid = self._kf_snapshot(self.state, est_pose)
+        if snap is None:
+            snap = self._kf_snapshot(self.state, est_pose)
+        pts_kf, desc, valid = snap
         pose_np, pts_np, desc_np, valid_np = jax.device_get(
             (est_pose, pts_kf, desc, valid)
         )
@@ -227,6 +239,7 @@ class SLAMSystem:
             points_kf=pts_np,
             desc=desc_np,
             valid=valid_np,
+            frame=self.frame_idx if frame is None else frame,
         )
         self.keyframes.append(kf)
         self._kf_store_append(kf)
@@ -281,7 +294,8 @@ class SLAMSystem:
 
     def _try_loop_closure(self, kf: Keyframe, min_matches: int = 12):
         """Match this keyframe's descriptors against ALL older keyframes
-        (skipping recent neighbors) in one vmapped matcher dispatch over
+        (skipping recent ones by FRAME gap, so the recency gate does not
+        depend on keyframe cadence) in one vmapped matcher dispatch over
         the stacked store; add a graph edge on success.
 
         Correspondences are mutually cross-checked (forward+reverse NN must
@@ -290,7 +304,10 @@ class SLAMSystem:
         fit is iterated on inliers and the closure rejected unless a tight
         consensus remains. Per-keyframe match semantics are identical to the
         round-1 serial loop; the host does only the final bincount/argmax."""
-        n_old = max(0, kf.index - 3)
+        # keyframes are created in frame order, so frame-gap eligibility is
+        # a prefix of the store
+        gap = self.cfg.backend.loop_min_frame_gap
+        n_old = sum(1 for k in self.keyframes[: kf.index] if k.frame <= kf.frame - gap)
         if n_old == 0:
             return False
         use_pallas = jax.devices()[0].platform == "tpu"
@@ -340,14 +357,18 @@ class SLAMSystem:
         consensus), fully on device — one dispatch + one fetch instead of
         the round-2 host loop's ~8 round-trips per closure candidate.
         Matches the host-loop semantics: rounds always run; a collapsed
-        inlier set only shows up in the returned count (caller thresholds)."""
+        inlier set only shows up in the returned count (caller thresholds).
+        Re-selection is ANDed with the original padding mask: zero-padded
+        rows (pa=pb=0) have residual ~|t| of the fitted transform, which for
+        small closures is inside the radius — without the mask hundreds of
+        fake 0->0 correspondences join rounds 2-3 and collapse the edge."""
         radius = self.cfg.backend.loop_inlier_radius
 
-        def round_(valid, _):
-            rel = graph_mod.estimate_relative_pose_3d3d(pb, pa, valid)
+        def round_(cur, _):
+            rel = graph_mod.estimate_relative_pose_3d3d(pb, pa, cur)
             fit = jax.vmap(lambda p: geometry.se3_apply(rel, p))(pa)
             res = jnp.linalg.norm(fit - pb, axis=1)
-            return res < radius, rel
+            return (res < radius) & valid, rel
 
         valid1, _ = round_(valid, None)
         valid2, _ = round_(valid1, None)
@@ -369,6 +390,11 @@ class SLAMSystem:
                 jax.vmap(lambda m: geometry.se3_apply(corr, m), in_axes=0)
             )(self.state.lm_mean),
         )
+        # The keyframe-motion reference lives in the filter-estimate frame;
+        # the correction just shifted that frame, so shift the reference
+        # with it (otherwise the next motion test compares a corrected
+        # estimate against an uncorrected reference and trips spuriously).
+        self._last_kf_dev = geometry.se3_compose(corr, self._last_kf_dev)
         poses_np = jax.device_get(self.graph.poses[: len(self.keyframes)])
         for i, kf in enumerate(self.keyframes):
             kf.pose = poses_np[i]
@@ -392,13 +418,24 @@ class SLAMSystem:
             | (jnp.linalg.norm(xi[3:]) > be.keyframe_rotation)
         )
 
+    def _fused_tail(self, state, est, key_next, last_kf, has_kf, metrics):
+        """Shared epilogue of every fused step: keyframe flag, device-side
+        reference latch (a flagged frame's estimate becomes the reference
+        for the NEXT frame's motion test), and the flagged frame's own map
+        snapshot — so keyframe cadence AND content are independent of when
+        the host drains the flag window."""
+        flag = self._kf_test(est, last_kf, has_kf)
+        new_ref = jnp.where(flag, est, last_kf)
+        snap = self._kf_snapshot_impl(state, est)
+        return state, est, key_next, flag, new_ref, snap, metrics
+
     def _fused_frame_impl(self, state, img, odom_u, key, last_kf, has_kf):
         k_step, key_next = jax.random.split(key)
         xy, desc, valid = self._frontend(img)
         obs = self._to_observation(xy, desc, valid)
         state, metrics = self.slam.step(state, odom_u, obs, k_step)
         est = self.slam.estimate_pose(state)
-        return state, est, key_next, self._kf_test(est, last_kf, has_kf), metrics
+        return self._fused_tail(state, est, key_next, last_kf, has_kf, metrics)
 
     def _fused_stereo_impl(self, state, img_l, img_r, odom_u, key, last_kf, has_kf):
         from parakeet_slam_tpu.frontend.stereo import keypoint_disparity
@@ -412,13 +449,13 @@ class SLAMSystem:
         obs = self._to_observation(uvd, desc, valid & dvalid)
         state, metrics = self.slam.step(state, odom_u, obs, k_step)
         est = self.slam.estimate_pose(state)
-        return state, est, key_next, self._kf_test(est, last_kf, has_kf), metrics
+        return self._fused_tail(state, est, key_next, last_kf, has_kf, metrics)
 
     def _fused_obs_impl(self, state, obs, odom_u, key, last_kf, has_kf):
         k_step, key_next = jax.random.split(key)
         state, metrics = self.slam.step(state, odom_u, obs, k_step)
         est = self.slam.estimate_pose(state)
-        return state, est, key_next, self._kf_test(est, last_kf, has_kf), metrics
+        return self._fused_tail(state, est, key_next, last_kf, has_kf, metrics)
 
     # -- main entry -------------------------------------------------------
 
@@ -426,20 +463,24 @@ class SLAMSystem:
         """One camera frame + odometry increment. Returns the pose estimate
         [7] as a DEVICE array (convert with np.asarray when needed; batch
         conversions at the end of a run to keep the frame loop async)."""
-        self.state, est, self.key, kf_flag, metrics = self._fused_frame(
-            self.state, jnp.asarray(img), jnp.asarray(odom_u, jnp.float32),
-            self.key, self._last_kf_dev, jnp.bool_(self._has_kf),
+        self.state, est, self.key, kf_flag, self._last_kf_dev, snap, metrics = (
+            self._fused_frame(
+                self.state, jnp.asarray(img), jnp.asarray(odom_u, jnp.float32),
+                self.key, self._last_kf_dev, jnp.bool_(self._has_kf),
+            )
         )
-        return self._post_step(est, kf_flag, metrics)
+        return self._post_step(est, kf_flag, snap, metrics)
 
     def process_obs(self, obs, odom_u):
         """Bypass the image frontend with a ready Observation (simulation,
         or an external detector)."""
-        self.state, est, self.key, kf_flag, metrics = self._fused_obs(
-            self.state, obs, jnp.asarray(odom_u, jnp.float32),
-            self.key, self._last_kf_dev, jnp.bool_(self._has_kf),
+        self.state, est, self.key, kf_flag, self._last_kf_dev, snap, metrics = (
+            self._fused_obs(
+                self.state, obs, jnp.asarray(odom_u, jnp.float32),
+                self.key, self._last_kf_dev, jnp.bool_(self._has_kf),
+            )
         )
-        return self._post_step(est, kf_flag, metrics)
+        return self._post_step(est, kf_flag, snap, metrics)
 
     def process_stereo_frame(self, img_left, img_right, odom_u):
         """Stereo pair (KITTI config 3): detect/describe on the left image,
@@ -447,14 +488,16 @@ class SLAMSystem:
         stereo_3d measurement model."""
         if self.cfg.filter.obs_dim != 3:
             raise ValueError("stereo frames need obs_dim=3 (stereo_3d model)")
-        self.state, est, self.key, kf_flag, metrics = self._fused_stereo(
-            self.state, jnp.asarray(img_left), jnp.asarray(img_right),
-            jnp.asarray(odom_u, jnp.float32),
-            self.key, self._last_kf_dev, jnp.bool_(self._has_kf),
+        self.state, est, self.key, kf_flag, self._last_kf_dev, snap, metrics = (
+            self._fused_stereo(
+                self.state, jnp.asarray(img_left), jnp.asarray(img_right),
+                jnp.asarray(odom_u, jnp.float32),
+                self.key, self._last_kf_dev, jnp.bool_(self._has_kf),
+            )
         )
-        return self._post_step(est, kf_flag, metrics)
+        return self._post_step(est, kf_flag, snap, metrics)
 
-    def _post_step(self, est, kf_flag, metrics):
+    def _post_step(self, est, kf_flag, snap, metrics):
         self.frame_idx += 1
         self._metrics_pending.append(
             (
@@ -466,29 +509,36 @@ class SLAMSystem:
         )
         if len(self._metrics_pending) >= 256:
             self.flush_metrics()
-        self._flag_pending.append((est, kf_flag))
-        if not self._has_kf or len(self._flag_pending) >= self.kf_flag_lag:
+        self._flag_pending.append((self.frame_idx, est, kf_flag, snap))
+        # Absolute-phase flushes (frame_idx % lag == 0, plus every frame
+        # until the first keyframe exists): flush timing is a function of
+        # the frame index alone, so keyframe materialization — and the
+        # pose-graph corrections it can trigger — happens at the same frame
+        # in an uninterrupted run and a checkpoint/resume run.
+        if not self._has_kf or self.frame_idx % self.kf_flag_lag == 0:
             self.flush_flags()
         return est
 
     def flush_flags(self):
-        """Fetch the pending keyframe flags (ONE device round-trip) and, if
-        any frame in the window tripped the motion threshold, create a
-        keyframe from the newest estimate. Remaining flags in the window are
-        dropped — they were tested against the pre-keyframe reference."""
+        """Fetch the pending keyframe flags (ONE device round-trip) and
+        materialize a keyframe for EVERY flagged frame, from that frame's
+        own in-step snapshot. Each flagged frame was tested against the
+        device-latched reference (its predecessor flagged frame), so the
+        flag set is exact — nothing here depends on flush timing."""
         pend, self._flag_pending = self._flag_pending, []
         if not pend:
             return
-        flags = jax.device_get([f for _, f in pend])
+        flags = jax.device_get([f for _, _, f, _ in pend])
         if not any(flags):
             return
-        est = pend[int(np.argmax(flags))][0]  # first flagged frame's pose
-        kf = self._make_keyframe(est)
-        self.last_kf_pose = kf.pose
-        self._last_kf_dev = jnp.asarray(est)
-        self._has_kf = True
-        if self._try_loop_closure(kf):
-            self._optimize_and_correct()
+        for (fi, est, _, snap), f in zip(pend, flags):
+            if not f:
+                continue
+            kf = self._make_keyframe(est, snap, frame=fi)
+            self.last_kf_pose = kf.pose
+            self._has_kf = True
+            if self._try_loop_closure(kf):
+                self._optimize_and_correct()
         ce = self.cfg.checkpoint_every
         if ce > 0 and self.cfg.checkpoint_dir and len(self.keyframes) % ce == 0:
             self.save_checkpoint(
@@ -517,10 +567,13 @@ class SLAMSystem:
 
     def save_checkpoint(self, path_prefix: str):
         """Snapshot filter state + pose graph (+ host-side keyframe store,
-        RNG key, cursors) so a killed run resumes bit-identically."""
+        RNG key, cursors, the device keyframe reference, and the un-flushed
+        flag window) so a killed run resumes bit-identically. The pending
+        window is PERSISTED, not flushed: flushing here would materialize
+        keyframes at the checkpoint frame instead of the next absolute
+        window boundary, diverging from an uninterrupted run."""
         from parakeet_slam_tpu.utils import checkpoint as ckpt
 
-        self.flush_flags()
         self.flush_metrics()
         ckpt.save_checkpoint(
             path_prefix + ".state.npz",
@@ -528,6 +581,9 @@ class SLAMSystem:
             step=self.frame_idx,
         )
         kfs = self.keyframes
+        pend = jax.device_get(self._flag_pending)
+        F = self.cfg.frontend.max_features
+        W = self.cfg.filter.desc_words
         np.savez(
             path_prefix + ".kf.npz",
             n=np.int32(len(kfs)),
@@ -537,11 +593,20 @@ class SLAMSystem:
                 if self.last_kf_pose is not None
                 else np.full((7,), np.nan, np.float32)
             ),
+            kf_ref=np.asarray(jax.device_get(self._last_kf_dev), np.float32),
+            has_kf=np.bool_(self._has_kf),
             loop_closures=np.asarray(self.loop_closures, np.int32).reshape(-1, 2),
             pose=np.stack([k.pose for k in kfs]) if kfs else np.zeros((0, 7), np.float32),
             points=np.stack([k.points_kf for k in kfs]) if kfs else np.zeros((0, 0, 3), np.float32),
             desc=np.stack([k.desc for k in kfs]) if kfs else np.zeros((0, 0, 1), np.uint32),
             valid=np.stack([k.valid for k in kfs]) if kfs else np.zeros((0, 0), bool),
+            kf_frame=np.asarray([k.frame for k in kfs], np.int32),
+            p_frame=np.asarray([p[0] for p in pend], np.int32),
+            p_est=np.stack([p[1] for p in pend]) if pend else np.zeros((0, 7), np.float32),
+            p_flag=np.asarray([p[2] for p in pend], bool),
+            p_pts=np.stack([p[3][0] for p in pend]) if pend else np.zeros((0, F, 3), np.float32),
+            p_desc=np.stack([p[3][1] for p in pend]) if pend else np.zeros((0, F, max(W, 1)), np.uint32),
+            p_valid=np.stack([p[3][2] for p in pend]) if pend else np.zeros((0, F), bool),
         )
 
     def load_checkpoint(self, path_prefix: str):
@@ -557,14 +622,46 @@ class SLAMSystem:
         self.frame_idx = int(data["frame_idx"])
         lkp = data["last_kf_pose"]
         self.last_kf_pose = None if np.isnan(lkp).any() else lkp
-        self._has_kf = self.last_kf_pose is not None
-        if self._has_kf:
-            self._last_kf_dev = jnp.asarray(self.last_kf_pose)
+        # pre-restore pending work would leak this system's frames into the
+        # restored run (advisor r3); the restored window replaces both.
+        self._metrics_pending = []
+        if "has_kf" in data:
+            self._has_kf = bool(data["has_kf"])
+            self._last_kf_dev = jnp.asarray(data["kf_ref"])
+        else:  # legacy snapshot (round-3 format)
+            self._has_kf = self.last_kf_pose is not None
+            self._last_kf_dev = jnp.asarray(
+                self.last_kf_pose
+                if self._has_kf
+                else np.eye(1, 7, 6, dtype=np.float32)[0]
+            )
+        if "p_est" in data and len(data["p_est"]):
+            self._flag_pending = [
+                (
+                    int(data["p_frame"][i]),
+                    jnp.asarray(data["p_est"][i]),
+                    jnp.asarray(data["p_flag"][i]),
+                    (
+                        jnp.asarray(data["p_pts"][i]),
+                        jnp.asarray(data["p_desc"][i]),
+                        jnp.asarray(data["p_valid"][i]),
+                    ),
+                )
+                for i in range(len(data["p_est"]))
+            ]
+        else:
+            self._flag_pending = []
         self.loop_closures = [tuple(r) for r in data["loop_closures"]]
+        kf_frame = (
+            data["kf_frame"]
+            if "kf_frame" in data
+            else np.arange(int(data["n"]), dtype=np.int32)
+        )
         self.keyframes = [
             Keyframe(
                 index=i, pose=data["pose"][i], points_kf=data["points"][i],
                 desc=data["desc"][i], valid=data["valid"][i],
+                frame=int(kf_frame[i]),
             )
             for i in range(int(data["n"]))
         ]

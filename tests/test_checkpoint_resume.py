@@ -54,6 +54,41 @@ def test_resume_bit_identical(tmp_path):
     assert len(b2.keyframes) == len(a.keyframes)
 
 
+def test_resume_any_frame_same_keyframes(tmp_path):
+    """Keyframe cadence must be independent of checkpoint timing: resuming
+    from a snapshot taken at ANY frame index yields the same keyframe set
+    and bit-identical estimates as the uninterrupted run (the keyframe flag
+    is latched device-side and the un-flushed flag window is persisted —
+    round-3 regression where mid-window flushes changed the cadence)."""
+    T = 10
+    world = make_panoramic_world(
+        num_landmarks=60, num_steps=T, image_size=(64, 128), seed=3
+    )
+    a = SLAMSystem(_cfg())
+    est_a = [a.process_frame(world.render(t), world.odom[t]) for t in range(T)]
+    a.flush_flags()
+    kf_a = [(k.index, tuple(np.round(k.pose, 6))) for k in a.keyframes]
+
+    for cut in range(1, T):
+        b1 = SLAMSystem(_cfg())
+        for t in range(cut):
+            b1.process_frame(world.render(t), world.odom[t])
+        prefix = str(tmp_path / f"snap{cut}")
+        b1.save_checkpoint(prefix)
+        b2 = SLAMSystem(_cfg())
+        b2.load_checkpoint(prefix)
+        est_b = [
+            b2.process_frame(world.render(t), world.odom[t])
+            for t in range(cut, T)
+        ]
+        b2.flush_flags()
+        np.testing.assert_array_equal(
+            np.stack(est_a[cut:]), np.stack(est_b), err_msg=f"cut={cut}"
+        )
+        kf_b = [(k.index, tuple(np.round(k.pose, 6))) for k in b2.keyframes]
+        assert kf_b == kf_a, f"cut={cut}: keyframe sets differ"
+
+
 def test_auto_checkpoint_written(tmp_path):
     cfg = _cfg(checkpoint_every=1, checkpoint_dir=str(tmp_path))
     world = make_panoramic_world(

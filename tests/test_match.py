@@ -37,6 +37,24 @@ class TestHamming:
             np.asarray(bi_x)[~ties], np.asarray(bi_p)[~ties]
         )
 
+    def test_pallas_multi_tile_merge(self):
+        """N > TN(256) and M > TM(4096) exercises the cross-tile top-2
+        merge — the round-3 kernel read back revisited output blocks here
+        (unsupported on real TPUs -> stale merges; advisor r3 high)."""
+        kq, kd = jax.random.split(jax.random.PRNGKey(99))
+        n, mm = 272, 4224  # 2 query tiles x 2 db tiles
+        qd = _rand_desc(kq, n)
+        db = _rand_desc(kd, mm)
+        valid = jnp.arange(mm) % 7 != 3
+        bi_x, b1_x, b2_x = m.hamming_top2_xla(qd, db, valid)
+        bi_p, b1_p, b2_p = m.hamming_top2(qd, db, valid, interpret=True)
+        np.testing.assert_array_equal(np.asarray(b1_x), np.asarray(b1_p))
+        np.testing.assert_array_equal(np.asarray(b2_x), np.asarray(b2_p))
+        ties = np.asarray(b1_x) == np.asarray(b2_x)
+        np.testing.assert_array_equal(
+            np.asarray(bi_x)[~ties], np.asarray(bi_p)[~ties]
+        )
+
     def test_identical_descriptor_found(self):
         key = jax.random.PRNGKey(0)
         db = _rand_desc(key, 64)

@@ -49,6 +49,9 @@ def _make_kf(index, pose, world_pts, desc, valid):
         index=index, pose=np.asarray(pose, np.float32),
         points_kf=pts_kf.astype(np.float32),
         desc=np.asarray(desc, np.uint32), valid=np.asarray(valid, bool),
+        # keyframes every 25 frames: old ones clear the loop_min_frame_gap
+        # recency gate (closure eligibility is frame-based, not index-based)
+        frame=index * 25,
     )
 
 
