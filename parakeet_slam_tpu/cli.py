@@ -154,18 +154,28 @@ def cmd_run(args):
             f"fps={fps_ss:.2f} (steady-state; incl-compile {n / wall:.2f}) "
             f"wall={wall:.1f}s"
         )
+        # Evaluation trajectory: online estimates re-anchored to the
+        # optimized keyframe graph (loop closures fix past drift only in
+        # this view — the online trajectory keeps it by construction).
+        est_opt = sys_.corrected_trajectory(est)
         if gt is not None:
             ok = ~np.isnan(gt[:n, :3]).any(axis=1)
             if ok.sum() >= 3:
                 # monocular runs are scale-ambiguous -> Sim(3) alignment
                 with_scale = cfg.frontend.camera == "pinhole"
                 ate = float(
+                    ate_rmse(est_opt[ok, :3], gt[:n][ok, :3], with_scale=with_scale)
+                )
+                ate_online = float(
                     ate_rmse(est[ok, :3], gt[:n][ok, :3], with_scale=with_scale)
                 )
-                line += f" ate_rmse={ate:.4f} m (sim3={with_scale})"
+                line += (
+                    f" ate_rmse={ate:.4f} m (sim3={with_scale};"
+                    f" online {ate_online:.4f})"
+                )
         print(line)
         if args.out:
-            export_trajectory(args.out, est)
+            export_trajectory(args.out, est_opt)
         return
 
     raise SystemExit(f"unknown dataset {cfg.data.dataset!r}")

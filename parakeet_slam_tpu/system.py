@@ -83,6 +83,15 @@ def _assign_point_ids(desc, valid, world, *, cap: int, use_pallas: bool, max_ham
     world positions. Returns ((store_desc, store_valid, store_pos, count,
     dropped), pid [K, F] int32) where pid is the per-observation point id
     (-1 = invalid row or dropped by capacity).
+
+    Intra-keyframe semantics: each keyframe's rows match only against the
+    store built from PRIOR keyframes (the store update commits after the
+    whole keyframe's match). Duplicate descriptors WITHIN one keyframe are
+    therefore NOT merged — each valid unmatched row allocates its own point
+    (distinct ascending slots via the cumsum rank). This is deliberate: two
+    same-looking detections in one frame are distinct physical points by
+    construction (the detector's NMS separates them spatially), and
+    cross-keyframe matching is what establishes identity.
     """
     K, F, W = desc.shape
     top2 = match_mod.hamming_top2 if use_pallas else match_mod.hamming_top2_xla
@@ -117,11 +126,16 @@ def _assign_point_ids(desc, valid, world, *, cap: int, use_pallas: bool, max_ham
 @dataclass
 class Keyframe:
     index: int
-    pose: np.ndarray          # [7] filter estimate at creation (world-from-kf)
+    pose: np.ndarray          # [7] CURRENT best pose (updated by optimize/BA)
     points_kf: np.ndarray     # [F, 3] landmark positions in keyframe frame
     desc: np.ndarray          # [F, W] packed descriptors
     valid: np.ndarray         # [F]
     frame: int = 0            # source frame index (loop-closure recency gate)
+    # Emission-frame pose: the online estimate this keyframe was created at,
+    # kept consistent with any filter-state corrections applied while it is
+    # the latest keyframe. corrected_trajectory() maps each online estimate
+    # onto the optimized graph via pose . anchor^-1.
+    anchor: np.ndarray | None = None
 
 
 @dataclass
@@ -183,14 +197,27 @@ class SLAMSystem:
 
     def _frontend(self, img):
         fe = self.cfg.frontend
-        xy, score, valid = detect(
-            img,
-            max_features=fe.max_features,
-            detector=fe.detector,
-            threshold=fe.fast_threshold,
-            nms_radius=fe.nms_radius,
-            wrap_x=self.wrap_x,
-        )
+        if fe.pyramid_levels > 1:
+            from parakeet_slam_tpu.frontend.pyramid import detect_pyramid
+
+            xy, score, _lvl, valid = detect_pyramid(
+                img,
+                levels=fe.pyramid_levels,
+                max_features=fe.max_features,
+                detector=fe.detector,
+                threshold=fe.fast_threshold,
+                nms_radius=fe.nms_radius,
+                wrap_x=self.wrap_x,
+            )
+        else:
+            xy, score, valid = detect(
+                img,
+                max_features=fe.max_features,
+                detector=fe.detector,
+                threshold=fe.fast_threshold,
+                nms_radius=fe.nms_radius,
+                wrap_x=self.wrap_x,
+            )
         desc = describe(img, xy, valid, wrap_x=self.wrap_x)
         return xy, desc, valid
 
@@ -240,6 +267,7 @@ class SLAMSystem:
             desc=desc_np,
             valid=valid_np,
             frame=self.frame_idx if frame is None else frame,
+            anchor=pose_np.copy(),
         )
         self.keyframes.append(kf)
         self._kf_store_append(kf)
@@ -395,9 +423,18 @@ class SLAMSystem:
         # with it (otherwise the next motion test compares a corrected
         # estimate against an uncorrected reference and trips spuriously).
         self._last_kf_dev = geometry.se3_compose(corr, self._last_kf_dev)
-        poses_np = jax.device_get(self.graph.poses[: len(self.keyframes)])
+        poses_np, corr_np = jax.device_get(
+            (self.graph.poses[: len(self.keyframes)], corr)
+        )
         for i, kf in enumerate(self.keyframes):
             kf.pose = poses_np[i]
+        # keep the latest keyframe's emission anchor in the (newly shifted)
+        # filter-estimate frame — estimates emitted after this correction
+        # are relative to it
+        last = self.keyframes[-1]
+        last.anchor = np.asarray(
+            geometry.se3_compose(jnp.asarray(corr_np), jnp.asarray(last.anchor))
+        )
 
     # -- fused per-frame device step --------------------------------------
     #
@@ -601,6 +638,7 @@ class SLAMSystem:
             desc=np.stack([k.desc for k in kfs]) if kfs else np.zeros((0, 0, 1), np.uint32),
             valid=np.stack([k.valid for k in kfs]) if kfs else np.zeros((0, 0), bool),
             kf_frame=np.asarray([k.frame for k in kfs], np.int32),
+            anchor=np.stack([k.anchor for k in kfs]) if kfs else np.zeros((0, 7), np.float32),
             p_frame=np.asarray([p[0] for p in pend], np.int32),
             p_est=np.stack([p[1] for p in pend]) if pend else np.zeros((0, 7), np.float32),
             p_flag=np.asarray([p[2] for p in pend], bool),
@@ -657,17 +695,56 @@ class SLAMSystem:
             if "kf_frame" in data
             else np.arange(int(data["n"]), dtype=np.int32)
         )
+        anchors = data["anchor"] if "anchor" in data else data["pose"]
         self.keyframes = [
             Keyframe(
                 index=i, pose=data["pose"][i], points_kf=data["points"][i],
                 desc=data["desc"][i], valid=data["valid"][i],
-                frame=int(kf_frame[i]),
+                frame=int(kf_frame[i]), anchor=anchors[i].copy(),
             )
             for i in range(int(data["n"]))
         ]
         self._rebuild_kf_store()
 
     # -- offline refinement ----------------------------------------------
+
+    def corrected_trajectory(self, est, final_optimize: bool = True):
+        """Map the ONLINE per-frame estimates onto the optimized keyframe
+        graph (the standard SLAM evaluation trajectory): loop-closure
+        corrections applied during the run only fix frames emitted AFTER
+        them, so the raw online trajectory keeps all pre-closure drift.
+        Here each frame t in keyframe i's segment is re-emitted as
+
+            est'_t = pose_i . anchor_i^-1 . est_t
+
+        where pose_i is keyframe i's optimized pose and anchor_i the
+        emission-frame pose the segment's estimates are relative to.
+        est: [T, 7] array of per-frame estimates (frame t = row t-1).
+        """
+        est = np.asarray(est)
+        if not self.keyframes:
+            return est
+        self.flush_flags()
+        if final_optimize and self.loop_closures:
+            self.graph, _ = pg_mod.optimize_pose_graph(
+                self.graph, iters=self.cfg.backend.gn_iters
+            )
+            poses_np = jax.device_get(self.graph.poses[: len(self.keyframes)])
+            for i, kf in enumerate(self.keyframes):
+                kf.pose = poses_np[i]
+        kf_frames = np.asarray([kf.frame for kf in self.keyframes])
+        poses = jnp.asarray(np.stack([kf.pose for kf in self.keyframes]))
+        anchors = jnp.asarray(np.stack([kf.anchor for kf in self.keyframes]))
+        corr = jax.vmap(
+            lambda p, a: geometry.se3_compose(p, geometry.se3_inverse(a))
+        )(poses, anchors)
+        # frame index of row t is t+1; rows before the first keyframe keep
+        # their online estimate
+        seg = np.searchsorted(kf_frames, np.arange(1, len(est) + 1), "right") - 1
+        out = jax.vmap(
+            lambda c, e: geometry.se3_compose(c, e)
+        )(corr[np.clip(seg, 0, None)], jnp.asarray(est))
+        return np.where((seg >= 0)[:, None], np.asarray(out), est)
 
     def build_ba_problem(
         self, dedup_max_hamming: int = 40
@@ -701,6 +778,12 @@ class SLAMSystem:
             cap=cap, use_pallas=use_pallas, max_ham=dedup_max_hamming,
         )
         if int(n_drop):
+            # recorded in the metrics stream (not just stderr) so capacity
+            # exhaustion is visible in run artifacts (advisor r2 item 1)
+            self.metrics.log(
+                self.frame_idx, ba_points_dropped=int(n_drop),
+                ba_point_capacity=cap,
+            )
             print(
                 f"build_ba_problem: point capacity {cap} "
                 f"(backend.max_landmarks) exhausted; dropped {int(n_drop)} "

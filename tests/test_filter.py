@@ -115,6 +115,34 @@ class TestBasics:
             )
         assert np.all(np.asarray(st.num_landmarks()) <= 2)
 
+    def test_likelihood_temper_scales_weight_increment(self):
+        """config.likelihood_temper divides the frame's log-weight delta by
+        T (before resampling), the ESS-collapse lever for dense visual
+        frames. Map updates must be unchanged."""
+        obs = make_observation(
+            jnp.array([[2.0, 0.5], [3.0, -0.4], [1.5, 1.1], [2.5, 0.0]])
+        )
+        key = jax.random.PRNGKey(7)
+
+        def run(T):
+            slam = FastSLAM(small_cfg(likelihood_temper=T, resample_frac=0.0))
+            st = slam.init_state()
+            st = slam.motion_update(st, jnp.array([0.5, 0.0, 0.1]), key)
+            st, _ = slam.measurement_update(st, obs, jax.random.PRNGKey(8))
+            # second frame: re-observe so the delta is likelihood-driven
+            st2, _ = slam.measurement_update(st, obs, jax.random.PRNGKey(9))
+            return st, st2
+
+        st1_a, st2_a = run(1.0)
+        st1_b, st2_b = run(4.0)
+        d_a = np.asarray(st2_a.log_w - st1_a.log_w)
+        d_b = np.asarray(st2_b.log_w - st1_b.log_w)
+        np.testing.assert_allclose(d_b, d_a / 4.0, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(st2_b.lm_mean), np.asarray(st2_a.lm_mean),
+            rtol=1e-5, atol=1e-6,
+        )
+
     def test_resample_triggers_on_degenerate_weights(self):
         cfg = small_cfg(resample_frac=0.5)
         slam = FastSLAM(cfg)

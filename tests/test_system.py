@@ -74,6 +74,57 @@ class TestPanoramicPipeline:
         drift = np.linalg.norm(est[-1, :3] - gt[-1, :3])
         assert drift < 3.5, drift
 
+    def test_pyramid_frontend_runs(self, pano_world):
+        """frontend.pyramid_levels > 1 routes detection through
+        detect_pyramid (multi-scale); the full frame step must still run
+        and produce valid features."""
+        sys_ = SLAMSystem(_pano_cfg(pyramid_levels=2))
+        img = jnp.asarray(pano_world.render(0))
+        xy, desc, valid = sys_._frontend_jit(img)
+        assert int(valid.sum()) >= 10
+        est = sys_.process_frame(pano_world.render(0), pano_world.odom[0])
+        assert np.isfinite(np.asarray(est)).all()
+
+    def test_corrected_trajectory_reanchors_segments(self, pano_world):
+        """corrected_trajectory maps online estimates onto the optimized
+        keyframe graph: frames before the first keyframe are unchanged;
+        with no optimization applied (pose == anchor) the map is identity;
+        after perturbing a keyframe's pose its whole segment moves by the
+        same left-correction."""
+        from parakeet_slam_tpu.core import geometry
+
+        sys_ = SLAMSystem(_pano_cfg())
+        est = []
+        for t in range(8):
+            est.append(sys_.process_frame(pano_world.render(t), pano_world.odom[t]))
+        est = np.stack(est)
+        sys_.flush_flags()
+        assert len(sys_.keyframes) >= 1
+        out = sys_.corrected_trajectory(est, final_optimize=False)
+        assert out.shape == est.shape and np.isfinite(out).all()
+        # pose == anchor (no closure ran) -> identity re-anchoring
+        np.testing.assert_allclose(out, est, atol=1e-5)
+        # perturb the first keyframe's optimized pose by a translation
+        kf = sys_.keyframes[0]
+        kf.pose = kf.pose.copy()
+        kf.pose[:3] += np.array([1.0, -2.0, 0.5], np.float32)
+        out2 = sys_.corrected_trajectory(est, final_optimize=False)
+        moved = np.arange(1, 9) >= kf.frame
+        corr = np.asarray(
+            geometry.se3_compose(
+                jnp.asarray(kf.pose),
+                geometry.se3_inverse(jnp.asarray(kf.anchor)),
+            )
+        )
+        exp = np.asarray(
+            jax.vmap(lambda e: geometry.se3_compose(jnp.asarray(corr), e))(
+                jnp.asarray(est)
+            )
+        )
+        kf2 = sys_.keyframes[1].frame if len(sys_.keyframes) > 1 else 9
+        seg0 = moved & (np.arange(1, 9) < kf2)
+        np.testing.assert_allclose(out2[seg0], exp[seg0], atol=1e-5)
+
     def test_metrics_logged(self, tmp_path, pano_world):
         cfg = dataclasses.replace(
             _pano_cfg(), metrics_path=str(tmp_path / "m.jsonl")
