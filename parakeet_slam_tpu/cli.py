@@ -108,8 +108,23 @@ def cmd_run(args):
             seq = load_tum(cfg.data.path)
             gt = seq.gt_pose  # [T, 7] (t, qxyzw), NaN rows possible
         elif cfg.data.dataset == "euroc":
+            import os as _os
+
             from parakeet_slam_tpu.data.euroc import load_euroc
 
+            # a directory of MH* session subdirs = config-4 multi-session
+            sessions = []
+            if _os.path.isdir(cfg.data.path):
+                sessions = sorted(
+                    d for d in _os.listdir(cfg.data.path)
+                    if d.startswith("MH")
+                    and _os.path.isdir(_os.path.join(cfg.data.path, d, "mav0"))
+                )
+            if sessions:
+                return _run_euroc_multisession(
+                    cfg, args,
+                    [_os.path.join(cfg.data.path, s) for s in sessions],
+                )
             seq = load_euroc(cfg.data.path)
             gt = seq.gt_pose
         else:
@@ -179,6 +194,121 @@ def cmd_run(args):
         return
 
     raise SystemExit(f"unknown dataset {cfg.data.dataset!r}")
+
+
+def _run_euroc_multisession(cfg, args, roots):
+    """Driver benchmark config 4 (BASELINE.json:10): sequential EuRoC MH
+    sessions with CHECKPOINT carry-over at each boundary (SURVEY.md §6 —
+    the filter+map+graph state round-trips through utils/checkpoint, so a
+    session boundary is the restart-based recovery path), then ONE joint
+    bundle adjustment over the union of all sessions' keyframes, with BA
+    iterations/s measured on the warm (cached) solver."""
+    import tempfile
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parakeet_slam_tpu.backend import ba as ba_mod
+    from parakeet_slam_tpu.core import geometry
+    from parakeet_slam_tpu.data.euroc import load_multi_session
+    from parakeet_slam_tpu.eval import ate_rmse
+    from parakeet_slam_tpu.system import SLAMSystem
+    from parakeet_slam_tpu.utils.metrics_log import export_trajectory
+
+    sessions = load_multi_session(roots)
+    ckpt_dir = cfg.checkpoint_dir or tempfile.mkdtemp(prefix="euroc_ms_")
+    sys_ = SLAMSystem(cfg)
+    est_all, gt_all = [], []
+    prev_gt_last = None
+    t0 = time.time()
+    n_total = 0
+    for si, seq in enumerate(sessions):
+        n = len(seq) if args.frames <= 0 else min(args.frames, len(seq))
+        gt = seq.gt_pose
+        odom = _make_odometry(cfg.data, gt, n)
+        if si > 0:
+            # session boundary: snapshot -> fresh system -> resume
+            prefix = f"{ckpt_dir}/session_{si:02d}"
+            sys_.save_checkpoint(prefix)
+            sys_ = SLAMSystem(cfg)
+            sys_.load_checkpoint(prefix)
+            ok0 = not np.isnan(gt[0, :3]).any()
+            if prev_gt_last is not None and ok0:
+                # coarse relocalization prior across the teleport (gt-
+                # derived, same provenance as the odometry source)
+                odom[0] = np.asarray(
+                    geometry.se3_log(
+                        geometry.se3_between(
+                            jnp.asarray(prev_gt_last), jnp.asarray(gt[0])
+                        )
+                    )
+                )
+        for i in range(n):
+            est_all.append(sys_.process_frame(seq.image(i), odom[i]))
+        gt_all.append(gt[:n])
+        ok_rows = ~np.isnan(gt[:n, :3]).any(axis=1)
+        prev_gt_last = gt[:n][ok_rows][-1] if ok_rows.any() else prev_gt_last
+        n_total += n
+        print(
+            f"session {si + 1}/{len(sessions)}: frames={n} "
+            f"keyframes={len(sys_.keyframes)} "
+            f"closures={len(sys_.loop_closures)}"
+        )
+    est = np.asarray(jnp.stack(est_all))
+    wall = time.time() - t0
+    sys_.flush_flags()
+    sys_.flush_metrics()
+    gt = np.concatenate(gt_all)
+
+    line = (
+        f"sessions={len(sessions)} frames={n_total} "
+        f"keyframes={len(sys_.keyframes)} "
+        f"loop_closures={len(sys_.loop_closures)} "
+        f"fps={n_total / wall:.2f} (incl-compile)"
+    )
+    est_opt = sys_.corrected_trajectory(est)
+    ok = ~np.isnan(gt[:, :3]).any(axis=1)
+    if ok.sum() >= 3:
+        line += (
+            f" ate_rmse={float(ate_rmse(est_opt[ok, :3], gt[ok, :3], with_scale=True)):.4f} m"
+            f" (sim3; online "
+            f"{float(ate_rmse(est[ok, :3], gt[ok, :3], with_scale=True)):.4f})"
+        )
+
+    # joint BA over the union of keyframes (warm-timed)
+    iters = args.ba if args.ba > 0 else cfg.backend.gn_iters
+    prob = sys_.build_ba_problem()
+    if prob is not None:
+        be = cfg.backend
+        solve = lambda: ba_mod.optimize_ba(  # noqa: E731
+            sys_.camera, prob, iters=iters, pcg_iters=be.pcg_iters,
+            huber_delta=be.huber_delta,
+            solver=be.solver if be.solver in ("pcg", "dense") else "pcg",
+        )
+        res = solve()
+        jax.block_until_ready(res.problem.cam_pose)
+        t1 = time.time()
+        res = solve()
+        np.asarray(res.problem.cam_pose)  # fence (block_until_ready is a
+        # no-op on the tunneled axon backend)
+        dt = time.time() - t1
+        n_pts = int(np.asarray(prob.pt_valid).sum())
+        n_obs = int(np.asarray(prob.obs_valid).sum())
+        for i, kf in enumerate(sys_.keyframes):
+            kf.pose = np.asarray(res.problem.cam_pose[i])
+        est_ba = sys_.corrected_trajectory(est, final_optimize=False)
+        line += (
+            f" | BA: points={n_pts} obs={n_obs} "
+            f"iters/s={iters / dt:.2f} cost={float(res.costs[-1]):.1f}"
+        )
+        if ok.sum() >= 3:
+            line += (
+                f" ate_ba={float(ate_rmse(est_ba[ok, :3], gt[ok, :3], with_scale=True)):.4f} m"
+            )
+        est_opt = est_ba
+    print(line)
+    if args.out:
+        export_trajectory(args.out, est_opt)
 
 
 def _kitti_gt_to_quat(gt34):
@@ -252,6 +382,17 @@ def cmd_synth(args):
             seed=args.seed,
         )
         sv.write_kitti_format(world, args.out)
+    elif args.kind == "euroc":
+        # multi-session machine hall: MH01..MH0N share one landmark world
+        for s in range(args.sessions):
+            world = sv.make_hall_world(
+                num_landmarks=args.landmarks or 8000,
+                num_steps=args.steps or 400,
+                session=s,
+                seed=args.seed,
+            )
+            sv.write_euroc_format(world, f"{args.out}/MH{s + 1:02d}")
+            print(f"  session MH{s + 1:02d}: {len(world)} frames")
     else:
         raise SystemExit(f"unknown synth kind {args.kind!r}")
     print(
@@ -303,16 +444,27 @@ def main(argv=None):
     )
     p_run.add_argument("--out", default="", help="trajectory output (TUM fmt)")
     p_run.add_argument("--frames", type=int, default=0)
+    p_run.add_argument(
+        "--ba", type=int, default=0,
+        help="joint-BA LM iterations after the run (euroc multi-session "
+        "default: backend.gn_iters)",
+    )
     p_run.set_defaults(fn=cmd_run)
 
     p_synth = sub.add_parser(
         "synth", help="generate a synthetic TUM/KITTI-format dataset"
     )
-    p_synth.add_argument("--kind", required=True, choices=("tum", "kitti"))
+    p_synth.add_argument(
+        "--kind", required=True, choices=("tum", "kitti", "euroc")
+    )
     p_synth.add_argument("--out", required=True)
     p_synth.add_argument("--steps", type=int, default=0)
     p_synth.add_argument("--landmarks", type=int, default=0)
     p_synth.add_argument("--seed", type=int, default=20)
+    p_synth.add_argument(
+        "--sessions", type=int, default=3,
+        help="euroc: number of MH sessions sharing one world",
+    )
     p_synth.set_defaults(fn=cmd_synth)
 
     p_eval = sub.add_parser("eval", help="ATE between two TUM trajectories")
