@@ -35,6 +35,14 @@ class FilterConfig:
     # fastslam1 (motion-model proposal) | fastslam2 (optimal proposal,
     # filter/fastslam2.py — better accuracy per particle).
     algorithm: str = "fastslam1"
+    # FastSLAM 2.0 association: "sequential" re-associates every observation
+    # at the progressively refined pose (the textbook formulation — one
+    # [P, L] sweep PER OBSERVATION, accurate when motion noise is large
+    # relative to landmark spacing); "hoisted" scores the whole frame once
+    # at the motion-mean pose (one fused kernel sweep per frame — the only
+    # formulation that scales to vision configs with Z~100 observations).
+    # "auto": hoisted on the fused 3-D Pallas path, sequential otherwise.
+    fs2_association: str = "auto"
 
     # Motion noise alphas (odometry model, Probabilistic Robotics table 5.6).
     motion_noise: tuple[float, ...] = (0.05, 0.05, 0.05, 0.05)

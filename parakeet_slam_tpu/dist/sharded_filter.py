@@ -109,10 +109,11 @@ class ShardedFastSLAM:
             if isinstance(slam_, FastSLAM2):
                 # FastSLAM 2.0: the optimal-proposal stage is per-particle
                 # (pose-Gaussian refinement + sampling), so it shards with
-                # zero extra communication; weights are fully applied there.
-                state = slam_._propose(state, u, obs, k_motion)
+                # zero extra communication; weights are fully applied there
+                # and the map pass reuses the proposal's association scores.
+                state, scores = slam_._propose(state, u, obs, k_motion)
                 state, mean_match_local = slam_.measurement_core(
-                    state, obs, weight_matched=False
+                    state, obs, weight_matched=False, scores=scores
                 )
             else:
                 state = slam_.motion_update(state, u, k_motion)

@@ -129,6 +129,58 @@ def bench_ekf3d(P=1024, L=8192, Z=32, model="equirect_3d"):
     return dt, bytes_moved, flops
 
 
+def bench_fs_step(P=1024, L=8192, Z=32, algorithm="fastslam1"):
+    """Full filter step (propose + measurement + resample path) at
+    panoramic scale through the Pallas kernels — measures the FS2 overhead
+    over FS1 (round-3 item: FS2 must stay <= ~1.5x FS1 with the hoisted
+    single-sweep association instead of a [P, L] sweep per observation)."""
+    from parakeet_slam_tpu.core.config import FilterConfig, FrontendConfig
+    from parakeet_slam_tpu.core.state import make_observation
+    from parakeet_slam_tpu.filter import make_filter
+
+    cfg = FilterConfig(
+        num_particles=P, max_landmarks=L, max_observations=Z,
+        lm_dim=3, obs_dim=2, pose_dim=7, sig_dim=0, desc_words=8,
+        measurement_model="equirect_3d", motion_model="se3_odometry",
+        motion_noise=(0.02, 0.01), meas_noise=(3.0, 3.0),
+        init_range_prior=14.0, init_range_sigma=8.0,
+        new_landmark_loglik=-14.0, max_range=60.0,
+        algorithm=algorithm, use_pallas=True,
+    )
+    fe = FrontendConfig(camera="equirect", image_size=(1024, 2048))
+    slam = make_filter(cfg, fe)
+    key = jax.random.PRNGKey(0)
+    st = slam.init_state()
+    # dense pre-seeded map so the sweep covers all L lanes
+    st = st.replace(
+        lm_mean=jax.random.normal(jax.random.fold_in(key, 1), (P, L, 3)) * 10,
+        lm_cov=jnp.broadcast_to(0.1 * jnp.eye(3), (P, L, 3, 3)) + 0.0,
+        lm_desc=jax.random.randint(
+            jax.random.fold_in(key, 2), (P, L, 8), 0, 2**31 - 1,
+            dtype=jnp.int32,
+        ).astype(jnp.uint32),
+        lm_valid=jnp.ones((P, L), bool),
+        lm_count=jnp.ones((P, L), jnp.int32),
+    )
+    z = jax.random.uniform(key, (Z, 2), minval=10.0, maxval=900.0)
+    desc = jax.random.randint(
+        jax.random.fold_in(key, 3), (Z, 8), 0, 2**31 - 1, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    obs = make_observation(z, desc=desc, valid=jnp.ones((Z,), bool))
+    u = jnp.zeros((6,)).at[0].set(0.05)
+
+    def call():
+        st2, _ = slam.step(st, u, obs, jax.random.PRNGKey(7))
+        return st2.pose
+
+    dt = _time_call(call, reps=5)
+    plane_bytes = P * L * 4
+    n_sweeps = 2 if algorithm == "fastslam2" else 1
+    bytes_moved = plane_bytes * (11 + 8) * 2 * n_sweeps
+    flops = Z * P * L * 200 * n_sweeps
+    return dt, bytes_moved, flops
+
+
 def bench_resample(P=2048, L=10240):
     from parakeet_slam_tpu.kernels import resample_pallas
 
@@ -240,6 +292,8 @@ BENCHES = {
     "match": bench_match,
     "schur": bench_schur,
     "ba_iteration": bench_ba,
+    "fs1_step": lambda: bench_fs_step(algorithm="fastslam1"),
+    "fs2_step": lambda: bench_fs_step(algorithm="fastslam2"),
 }
 
 

@@ -127,11 +127,26 @@ class FastSLAM:
         best_ll = jnp.take_along_axis(ll, best[:, None], axis=1)[:, 0]
         return best, best_ll
 
-    def _associate_frame(self, state: ParticleState, obs: Observation):
+    def _score_frame(self, state: ParticleState, obs: Observation):
+        """Score every observation against the PRE-FRAME map: returns
+        (best [P, Z] lane, best_ll [P, Z])."""
+
+        def sc(_, row):
+            z, sig, desc = row
+            return None, self._score_observation(state, z, sig, desc)
+
+        _, (best, best_ll) = jax.lax.scan(sc, None, (obs.z, obs.sig, obs.desc))
+        return best.T, best_ll.T
+
+    def _associate_frame(
+        self, state: ParticleState, obs: Observation, scores=None
+    ):
         """Batched pre-frame association for the whole frame (the v2
         semantics shared with the Pallas kernels — see kernels/ekf_update.py
         docstring): every observation scores against the PRE-FRAME map;
         new landmarks take ascending free slots in observation order.
+        `scores` (best, best_ll), when given, skips the scoring sweep
+        (FastSLAM 2.0's proposal already computed it at the proposal pose).
 
         Returns (target [P, Z] int32 lane or -1, is_new [P, Z],
                  do_upd [P, Z], do_alloc [P, Z], best_ll [P, Z]).
@@ -140,13 +155,9 @@ class FastSLAM:
         P, L = state.lm_valid.shape
         Z = obs.capacity
 
-        def sc(_, row):
-            z, sig, desc = row
-            return None, self._score_observation(state, z, sig, desc)
-
-        _, (best, best_ll) = jax.lax.scan(sc, None, (obs.z, obs.sig, obs.desc))
-        best = best.T                                        # [P, Z]
-        best_ll = best_ll.T
+        best, best_ll = (
+            self._score_frame(state, obs) if scores is None else scores
+        )
         valid = obs.valid[None, :]                           # [1, Z]
         any_cand = jnp.any(state.lm_valid, axis=-1)[:, None]
         is_new = (best_ll < c.new_landmark_loglik) | ~any_cand
@@ -280,31 +291,41 @@ class FastSLAM:
         )
         return state, jnp.mean(n_match)
 
-    def _measurement_update_pallas_3d(
-        self, state: ParticleState, obs: Observation, weight_matched: bool = True
-    ):
-        """Route a frame through the fused 3-D vision-model Pallas kernel
-        (`kernels/ekf_update_3d`). Parity with the XLA path is tested in
-        tests/test_ekf3d_kernel.py. `weight_matched=False` suppresses the
-        in-kernel weight updates (FastSLAM 2.0 map pass)."""
-        from parakeet_slam_tpu.kernels import ekf_update_3d
-
-        c = self.cfg
+    def _vision_kernel_params(self):
+        """Static camera-parameter tuple shared by the fused 3-D kernels."""
         fe = self.fe_cfg
-        interpret = jax.devices()[0].platform != "tpu"
         fx, fy, cx, cy = (fe.intrinsics[:4] if fe else (500.0, 500.0, 320.0, 240.0))
         H_img, W_img = fe.image_size if fe else (480, 640)
-        par = (
+        return (
             ("fx", float(fx)), ("fy", float(fy)),
             ("cx", float(cx)), ("cy", float(cy)),
             ("baseline", float(fe.baseline if fe else 0.1)),
             ("img_w", float(W_img)), ("img_h", float(H_img)),
         )
+
+    def _measurement_update_pallas_3d(
+        self, state: ParticleState, obs: Observation,
+        weight_matched: bool = True, scores=None,
+    ):
+        """Route a frame through the fused 3-D vision-model Pallas kernel
+        (`kernels/ekf_update_3d`). Parity with the XLA path is tested in
+        tests/test_ekf3d_kernel.py. `weight_matched=False` suppresses the
+        in-kernel weight updates (FastSLAM 2.0 map pass); `scores`
+        (best, best_ll) skips the in-kernel landmark sweep entirely."""
+        from parakeet_slam_tpu.kernels import ekf_update_3d
+
+        c = self.cfg
+        interpret = jax.devices()[0].platform != "tpu"
+        par = self._vision_kernel_params()
+        ext_ll = ext_ix = None
+        if scores is not None:
+            ext_ix, ext_ll = scores
         (log_w, lm_mean, lm_cov, lm_desc, lm_valid, lm_count, n_match) = (
             ekf_update_3d.measurement_update_3d(
                 state.pose, state.log_w, state.lm_mean, state.lm_cov,
                 state.lm_desc, state.lm_valid, state.lm_count,
                 obs.z, obs.desc, obs.valid,
+                ext_ll, ext_ix,
                 model=self.model.name,
                 desc_words=c.desc_words,
                 par=par,
@@ -342,23 +363,33 @@ class FastSLAM:
         return self._resample_and_metrics(state, obs, mean_match, key)
 
     def measurement_core(
-        self, state: ParticleState, obs: Observation, weight_matched: bool = True
+        self, state: ParticleState, obs: Observation,
+        weight_matched: bool = True, scores=None,
     ) -> tuple[ParticleState, jax.Array]:
         """Association + EKF updates + map management WITHOUT resampling —
         purely per-particle, so it runs unchanged inside `shard_map` with
         the particle axis sharded (dist/sharded_filter.py). Returns
-        (state, mean associated-observation count)."""
+        (state, mean associated-observation count).
+
+        `scores` (best [P, Z], best_ll [P, Z]), when given, replaces the
+        association sweep (FastSLAM 2.0: scored once at the proposal pose)."""
         c = self.cfg
         P, L = state.lm_valid.shape
 
-        if c.use_pallas and self.model.name == "range_bearing_2d":
+        if (
+            c.use_pallas
+            and scores is None
+            and self.model.name == "range_bearing_2d"
+        ):
             return self._measurement_update_pallas(state, obs, weight_matched)
         if (
             c.use_pallas
             and c.sig_dim == 0
             and self.model.name in ("pinhole_3d", "stereo_3d", "equirect_3d")
         ):
-            return self._measurement_update_pallas_3d(state, obs, weight_matched)
+            return self._measurement_update_pallas_3d(
+                state, obs, weight_matched, scores
+            )
 
         matched0 = jnp.zeros((P, L), bool)
         # fp32 discipline: the EKF small-matrix matmuls (H Σ Hᵀ, K ν, (I−KH)Σ)
@@ -370,7 +401,7 @@ class FastSLAM:
             # v2 semantics (shared with the Pallas kernels): batched
             # pre-frame association, then sequential per-obs composition.
             target, is_new, do_upd, do_alloc, best_ll = self._associate_frame(
-                state, obs
+                state, obs, scores
             )
             if weight_matched:
                 dw = jnp.where(is_new, c.new_landmark_loglik, best_ll)

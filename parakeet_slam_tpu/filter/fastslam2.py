@@ -59,9 +59,23 @@ class FastSLAM2(FastSLAM):
         zero = jnp.zeros((self.tangent_dim,), pose.dtype)
         return jax.jacfwd(lambda d: self.model.h(self.retract(pose, d), lm))(zero)
 
+    def _pallas_3d_eligible(self):
+        c = self.cfg
+        return (
+            c.use_pallas
+            and c.sig_dim == 0
+            and self.model.name in ("pinhole_3d", "stereo_3d", "equirect_3d")
+        )
+
+    def _hoist_association(self):
+        mode = getattr(self.cfg, "fs2_association", "auto")
+        if mode == "auto":
+            return self._pallas_3d_eligible()
+        return mode == "hoisted"
+
     def _associate(self, pose, state: ParticleState, z, sig, desc):
-        """Masked ML association of one observation at the given poses.
-        Returns (best [P], best_ll [P], any_valid [P])."""
+        """Masked ML association of one observation at the given poses
+        (sequential mode). Returns (best [P], best_ll [P])."""
         pair_fn = jax.vmap(
             lambda p, m, c_: self._per_pair_stats(p, m, c_, z)[-1],
             in_axes=(None, 0, 0),
@@ -75,20 +89,56 @@ class FastSLAM2(FastSLAM):
         ll = jnp.where(state.lm_valid & jnp.isfinite(ll), ll, _NEG_INF)
         best = jnp.argmax(ll, axis=-1)
         best_ll = jnp.take_along_axis(ll, best[:, None], axis=1)[:, 0]
-        return best, best_ll, jnp.any(state.lm_valid, axis=-1)
+        return best, best_ll
+
+    def _frame_scores(self, state: ParticleState, obs: Observation):
+        """Association of the WHOLE frame against the pre-frame map at the
+        state's poses: ONE landmark sweep — the fused `score_3d` Pallas
+        kernel on the vision models, the XLA scoring scan otherwise.
+        Returns (best [P, Z], best_ll [P, Z])."""
+        c = self.cfg
+        if self._pallas_3d_eligible():
+            from parakeet_slam_tpu.kernels import ekf_update_3d
+
+            interpret = jax.devices()[0].platform != "tpu"
+            ll, ix = ekf_update_3d.score_3d(
+                state.pose, state.lm_mean, state.lm_cov, state.lm_desc,
+                state.lm_valid, obs.z, obs.desc,
+                model=self.model.name,
+                desc_words=c.desc_words,
+                par=self._vision_kernel_params(),
+                r_var=tuple(float(v) ** 2 for v in c.meas_noise[: c.obs_dim]),
+                desc_weight=float(c.desc_weight),
+                interpret=interpret,
+            )
+            return ix, ll
+        return self._score_frame(state, obs)
 
     def _propose(self, state: ParticleState, u, obs: Observation, key):
         """Refine a per-particle pose Gaussian with this frame's matched
         observations, then sample poses from it.
 
+        Association mode (config.fs2_association): "hoisted" scores the
+        whole frame ONCE at the motion-mean pose — one fused `score_3d`
+        sweep instead of a [P, L] map sweep per observation (the HBM
+        pattern the fused kernels exist to kill; scoring at the proposal
+        mean is the standard practical approximation, sound when motion
+        noise is small relative to landmark spacing — the vision configs
+        with odometry priors). "sequential" re-associates each observation
+        at the progressively refined pose (textbook; better in high-noise /
+        sparse-landmark regimes like the 2-D corridor). Either way the EKF
+        pose refinement is sequential: observation i's innovation is
+        evaluated at the pose refined by observations 0..i-1.
+
         The importance weights are FULLY determined here: matched
         observations contribute `log N(ν; 0, H_x P H_xᵀ + Q)` and unmatched
         ones contribute log p0 — the map pass afterwards runs with weight
-        updates suppressed, so re-association there (which handles
-        intra-frame duplicate observations against just-allocated
-        landmarks) can never double-count a weight.
+        updates suppressed (and in hoisted mode REUSES these association
+        scores), so it can never double-count a weight.
 
-        Returns the state with sampled poses and updated log-weights."""
+        Returns (state with sampled poses and updated log-weights,
+        the (best, best_ll) scores for the map pass — None in sequential
+        mode, where the map pass re-associates at the sampled pose)."""
         c = self.cfg
         dtype = state.pose.dtype
         dt = self.tangent_dim
@@ -100,10 +150,22 @@ class FastSLAM2(FastSLAM):
             lambda p: self.motion_mean_cov(p, jnp.asarray(u), c.motion_noise)
         )(state.pose)
 
+        hoist = self._hoist_association()
+        if hoist:
+            scores = self._frame_scores(state.replace(pose=mean0), obs)
+            best_all, best_ll_all = scores
+        else:
+            scores = None
+            Zc = obs.capacity
+            best_all = jnp.zeros((P, Zc), jnp.int32)       # unused carrier
+            best_ll_all = jnp.zeros((P, Zc), state.pose.dtype)
+        any_valid = jnp.any(state.lm_valid, axis=-1)       # [P]
+
         def obs_body(carry, obs_row):
             pose, P_cov, log_w = carry
-            z, sig, desc, valid = obs_row
-            best, best_ll, any_valid = self._associate(pose, state, z, sig, desc)
+            z, sig, desc, valid, best, best_ll = obs_row   # best [P]
+            if not hoist:
+                best, best_ll = self._associate(pose, state, z, sig, desc)
             matched = valid & any_valid & (best_ll >= c.new_landmark_loglik)
 
             take = lambda a: jnp.take_along_axis(
@@ -141,7 +203,8 @@ class FastSLAM2(FastSLAM):
             (pose, P_cov, log_w), _ = jax.lax.scan(
                 obs_body,
                 (mean0, cov0, state.log_w),
-                (obs.z, obs.sig, obs.desc, obs.valid),
+                (obs.z, obs.sig, obs.desc, obs.valid,
+                 best_all.T, best_ll_all.T),
             )
 
             # Sample pose ~ N(mean, P) per particle in tangent coordinates.
@@ -149,7 +212,7 @@ class FastSLAM2(FastSLAM):
             eps = jax.random.normal(key, (P, dt), dtype)
             pose = self.retract(pose, (chol @ eps[..., None])[..., 0])
 
-        return state.replace(pose=pose, log_w=log_w)
+        return state.replace(pose=pose, log_w=log_w), scores
 
     # -- full step ------------------------------------------------------------
 
@@ -162,10 +225,14 @@ class FastSLAM2(FastSLAM):
     @partial(jax.jit, static_argnums=0)
     def step(self, state: ParticleState, u, obs: Observation, key):
         """One FastSLAM 2.0 frame: proposal-refined pose sampling, landmark
-        EKF updates (weights for matched obs already applied), resample."""
+        EKF updates (weights for matched obs already applied), resample.
+        The map pass reuses the proposal's association scores — two full
+        landmark sweeps per frame become one sweep plus one narrow apply."""
         k_prop, k_resample = jax.random.split(key)
-        state = self._propose(state, u, obs, k_prop)
-        state, mean_match = self.measurement_core(state, obs, weight_matched=False)
+        state, scores = self._propose(state, u, obs, k_prop)
+        state, mean_match = self.measurement_core(
+            state, obs, weight_matched=False, scores=scores
+        )
         return self._resample_and_metrics(state, obs, mean_match, k_resample)
 
 

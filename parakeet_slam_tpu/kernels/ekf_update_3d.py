@@ -305,91 +305,26 @@ def _model_zhat(model, p, par):
             (math.pi / 2.0 - el) * (H_img / math.pi)]
 
 
-def _kernel(
-    z_ref, dz_ref, vz_ref, hi_ref,   # SMEM: [Z, Dz] f32, [Z, W] i32, [Z] i32, [1] i32
-    cam_ref, logw_ref,               # VMEM rows: [Pt, 12], [Pt, 1]
-    refs,
-    *,
-    model: str,
-    Dz: int,
-    desc_words: int,
-    num_obs: int,
-    num_landmarks: int,
-    sc: int,
-    ac: int,
-    par: dict,
-    r_var: tuple,
-    desc_weight: float,
-    log_p0: float,
-    init_infl: float,
-    init_range_prior: float,
-    init_range_sigma: float,
-    max_range: float,
-    cull: bool,
-    update_weights: bool,
+def _score_pass(
+    mean_r, cov_r, desc_r, lv_r, z_ref, dz_ref, top_ll, top_ix,
+    R, t, lane_s, nca,
+    *, model, Dz, W, Z, sc, num_landmarks, par, r_var, desc_weight,
 ):
-    W = desc_words
-    mean_in = refs[0:3]
-    cov_in = refs[3:9]
-    desc_in = refs[9 : 9 + W]
-    lv_ref, lc_ref = refs[9 + W], refs[10 + W]
-    out = refs[11 + W :]
-    logw_o = out[0]
-    mean_o = out[1:4]
-    cov_o = out[4:10]
-    desc_o = out[10 : 10 + W]
-    lv_o, lc_o = out[10 + W], out[11 + W]
-    nmatch_o = out[12 + W]
-    scratch = out[13 + W :]
-    top_ll, top_ix, fs_s, tgt_s, new_s, done_s = scratch[0:6]
-    lastj_s = scratch[6]
+    """Pass 1 of the fused update (shared with the score-only kernel):
+    fold per-(obs, particle) best association (ll, lane) over the active
+    landmark chunks into top_ll/top_ix [Pt, Zp]."""
+    P = lv_r.shape[0]
 
-    P, L = mean_o[0].shape
-    Z = num_obs
-
-    # ---- init: copy state into aliased outputs ---------------------------
-    logw_o[:, :] = logw_ref[:, :]
-    for k in range(3):
-        mean_o[k][:, :] = mean_in[k][:, :]
-    for k in range(6):
-        cov_o[k][:, :] = cov_in[k][:, :]
-    for k in range(W):
-        desc_o[k][:, :] = desc_in[k][:, :]
-    lv_o[:, :] = lv_ref[:, :]
-    lc_o[:, :] = lc_ref[:, :]
-    nmatch_o[:, :] = jnp.zeros((P, 1), jnp.float32)
-    lastj_s[:, :] = jnp.full((P, L), -1.0, jnp.float32)
-    top_ll[:, :] = jnp.full(top_ll.shape, _NEG_INF, jnp.float32)
-    top_ix[:, :] = jnp.zeros(top_ix.shape, jnp.float32)
-
-    R = [[cam_ref[:, 3 * i + j : 3 * i + j + 1] for j in range(3)]
-         for i in range(3)]
-    Rt = _transpose(R)
-    t = [cam_ref[:, 9 + k : 10 + k] for k in range(3)]
-
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (P, sc), 1)
-    lane_a = jax.lax.broadcasted_iota(jnp.int32, (P, ac), 1)
-    obs_lane = jax.lax.broadcasted_iota(jnp.int32, top_ll.shape, 1)
-
-    nca = hi_ref[0]                      # active score-chunks
-    hi_c = nca * sc                      # first fully-virgin lane
-    nca_a = (hi_c + ac - 1) // ac        # active apply-chunks
-    ncw = jnp.minimum(nca_a + 1, L // ac)  # apply/write bound
-
-    # ---- pass 1: fused geometry + scoring over active chunks -------------
-    # Per chunk: compute (zhat, Qinv, logdet) once into live values, then
-    # evaluate all Z observations against them (see kernels/ekf_update.py
-    # v3 docstring — same schedule, no VMEM cache roundtrip).
     def score_chunk(c, _):
         sl = pl.ds(c * sc, sc)
-        m = [mean_o[k][:, sl] for k in range(3)]
-        S = [[cov_o[_COV_IDX[(a, b)]][:, sl] for b in range(3)]
+        m = [mean_r[k][:, sl] for k in range(3)]
+        S = [[cov_r[_COV_IDX[(a, b)]][:, sl] for b in range(3)]
              for a in range(3)]
         zhat, Qi, ld0 = _predict_qi(model, m, S, R, t, par, r_var, Dz)
         lanes = lane_s + c * sc
-        ok = (lv_o[:, sl] > 0) & (lanes < num_landmarks)
+        ok = (lv_r[:, sl] > 0) & (lanes < num_landmarks)
         ld = jnp.where(ok, ld0, -2.0 * _NEG_INF)  # +2e30 sinks invalid ll
-        descs = [desc_o[w][:, sl] for w in range(W)]
+        descs = [desc_r[w][:, sl] for w in range(W)]
 
         for i in range(Z):
             zobs = [z_ref[i, k] for k in range(Dz)]
@@ -419,6 +354,102 @@ def _kernel(
         return 0
 
     jax.lax.fori_loop(0, nca, score_chunk, 0, unroll=False)
+
+
+def _kernel(
+    z_ref, dz_ref, vz_ref, hi_ref,   # SMEM: [Z, Dz] f32, [Z, W] i32, [Z] i32, [1] i32
+    cam_ref, logw_ref,               # VMEM rows: [Pt, 12], [Pt, 1]
+    refs,
+    *,
+    model: str,
+    Dz: int,
+    desc_words: int,
+    num_obs: int,
+    num_landmarks: int,
+    sc: int,
+    ac: int,
+    par: dict,
+    r_var: tuple,
+    desc_weight: float,
+    log_p0: float,
+    init_infl: float,
+    init_range_prior: float,
+    init_range_sigma: float,
+    max_range: float,
+    cull: bool,
+    update_weights: bool,
+    ext_scores: bool = False,
+):
+    W = desc_words
+    mean_in = refs[0:3]
+    cov_in = refs[3:9]
+    desc_in = refs[9 : 9 + W]
+    lv_ref, lc_ref = refs[9 + W], refs[10 + W]
+    if ext_scores:
+        ll_in, ix_in = refs[11 + W], refs[12 + W]
+        out = refs[13 + W :]
+    else:
+        out = refs[11 + W :]
+    logw_o = out[0]
+    mean_o = out[1:4]
+    cov_o = out[4:10]
+    desc_o = out[10 : 10 + W]
+    lv_o, lc_o = out[10 + W], out[11 + W]
+    nmatch_o = out[12 + W]
+    scratch = out[13 + W :]
+    top_ll, top_ix, fs_s, tgt_s, new_s, done_s = scratch[0:6]
+    lastj_s = scratch[6]
+
+    P, L = mean_o[0].shape
+    Z = num_obs
+
+    # ---- init: copy state into aliased outputs ---------------------------
+    logw_o[:, :] = logw_ref[:, :]
+    for k in range(3):
+        mean_o[k][:, :] = mean_in[k][:, :]
+    for k in range(6):
+        cov_o[k][:, :] = cov_in[k][:, :]
+    for k in range(W):
+        desc_o[k][:, :] = desc_in[k][:, :]
+    lv_o[:, :] = lv_ref[:, :]
+    lc_o[:, :] = lc_ref[:, :]
+    nmatch_o[:, :] = jnp.zeros((P, 1), jnp.float32)
+    lastj_s[:, :] = jnp.full((P, L), -1.0, jnp.float32)
+    if ext_scores:
+        # association precomputed by score_3d at the proposal pose
+        # (FastSLAM 2.0): skip the landmark sweep entirely.
+        top_ll[:, :] = ll_in[:, :]
+        top_ix[:, :] = ix_in[:, :]
+    else:
+        top_ll[:, :] = jnp.full(top_ll.shape, _NEG_INF, jnp.float32)
+        top_ix[:, :] = jnp.zeros(top_ix.shape, jnp.float32)
+
+    R = [[cam_ref[:, 3 * i + j : 3 * i + j + 1] for j in range(3)]
+         for i in range(3)]
+    Rt = _transpose(R)
+    t = [cam_ref[:, 9 + k : 10 + k] for k in range(3)]
+
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (P, sc), 1)
+    lane_a = jax.lax.broadcasted_iota(jnp.int32, (P, ac), 1)
+    obs_lane = jax.lax.broadcasted_iota(jnp.int32, top_ll.shape, 1)
+
+    nca = hi_ref[0]                      # active score-chunks
+    hi_c = nca * sc                      # first fully-virgin lane
+    nca_a = (hi_c + ac - 1) // ac        # active apply-chunks
+    ncw = jnp.minimum(nca_a + 1, L // ac)  # apply/write bound
+
+    # ---- pass 1: fused geometry + scoring over active chunks -------------
+    # Per chunk: compute (zhat, Qinv, logdet) once into live values, then
+    # evaluate all Z observations against them (see kernels/ekf_update.py
+    # v3 docstring — same schedule, no VMEM cache roundtrip).
+    if not ext_scores:
+        _score_pass(
+            mean_o, cov_o, desc_o, lv_o, z_ref, dz_ref, top_ll, top_ix,
+            R, t, lane_s, nca,
+            model=model, Dz=Dz, W=W, Z=Z, sc=sc,
+            num_landmarks=num_landmarks, par=par, r_var=r_var,
+            desc_weight=desc_weight,
+        )
 
     # ---- pass 2+3: free slots + vectorized association -------------------
     n_fs = min(Z, 64)
@@ -606,6 +637,7 @@ def _round_up(x, m):
 def measurement_update_3d(
     pose, log_w, lm_mean, lm_cov, lm_desc, lm_valid, lm_count,
     z, desc, valid,
+    ext_ll=None, ext_ix=None,
     *,
     model: str,
     desc_words: int,
@@ -626,6 +658,11 @@ def measurement_update_3d(
     pose [P, 7] (t, q); lm_mean [P, L, 3]; lm_cov [P, L, 3, 3];
     lm_desc [P, L, W] uint32; z [Z, Dz]; desc [Z, W] uint32.
     Returns (log_w, lm_mean, lm_cov, lm_desc, lm_valid, lm_count, n_match).
+
+    ext_ll/ext_ix ([P, Z] f32/int32, optional): precomputed association
+    scores from `score_3d` (FastSLAM 2.0's proposal pose). When given the
+    kernel SKIPS its own landmark sweep — the frame costs one plane
+    read/write plus the narrow apply passes only.
     """
     from parakeet_slam_tpu.core import geometry
 
@@ -704,10 +741,12 @@ def measurement_update_3d(
         (Pt, w), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     plane = lambda: row(Lp)
+    use_ext = ext_ll is not None
     in_specs = (
         [smem(), smem(), smem(), smem()]
         + [row(12), row(1)]
         + [plane()] * (9 + W + 2)
+        + ([row(Zp), row(Zp)] if use_ext else [])
     )
     out_specs = tuple([row(1)] + [plane()] * (9 + W + 2) + [row(1)])
     scratch = (
@@ -734,9 +773,22 @@ def measurement_update_3d(
         max_range=max_range,
         cull=cull,
         update_weights=update_weights,
+        ext_scores=use_ext,
     )
 
     aliases = {5 + i: i for i in range(n_aliased)}
+
+    operands = [z_in, dz_in, vz, nca[None], cam, logw2, *mean_planes,
+                *cov_planes, *desc_planes, lv, lc]
+    if use_ext:
+        pad_z = Zp - Z
+        operands.append(
+            jnp.pad(ext_ll.astype(jnp.float32), ((0, 0), (0, pad_z)),
+                    constant_values=_NEG_INF)
+        )
+        operands.append(
+            jnp.pad(ext_ix.astype(jnp.float32), ((0, 0), (0, pad_z)))
+        )
 
     results = pl.pallas_call(
         kernel,
@@ -748,8 +800,7 @@ def measurement_update_3d(
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
-    )(z_in, dz_in, vz, nca[None], cam, logw2, *mean_planes, *cov_planes,
-      *desc_planes, lv, lc)
+    )(*operands)
 
     logw_n = results[0][:, 0]
     mean_res = results[1:4]
@@ -788,3 +839,139 @@ def measurement_update_3d(
 
 def _kernel_entry(z_ref, dz_ref, vz_ref, hi_ref, cam_ref, logw_ref, *rest, **kw):
     _kernel(z_ref, dz_ref, vz_ref, hi_ref, cam_ref, logw_ref, rest, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Score-only kernel (FastSLAM 2.0 proposal association)
+# ---------------------------------------------------------------------------
+
+
+def _score_entry(
+    z_ref, dz_ref, hi_ref, cam_ref, *refs,
+    model, Dz, desc_words, num_obs, num_landmarks, sc, par, r_var,
+    desc_weight,
+):
+    W = desc_words
+    mean_r = refs[0:3]
+    cov_r = refs[3:9]
+    desc_r = refs[9 : 9 + W]
+    lv_r = refs[9 + W]
+    top_ll, top_ix = refs[10 + W], refs[11 + W]
+    P = lv_r.shape[0]
+    top_ll[:, :] = jnp.full(top_ll.shape, _NEG_INF, jnp.float32)
+    top_ix[:, :] = jnp.zeros(top_ix.shape, jnp.float32)
+    R = [[cam_ref[:, 3 * i + j : 3 * i + j + 1] for j in range(3)]
+         for i in range(3)]
+    t = [cam_ref[:, 9 + k : 10 + k] for k in range(3)]
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (P, sc), 1)
+    nca = hi_ref[0]
+    _score_pass(
+        mean_r, cov_r, desc_r, lv_r, z_ref, dz_ref, top_ll, top_ix,
+        R, t, lane_s, nca,
+        model=model, Dz=Dz, W=W, Z=num_obs, sc=sc,
+        num_landmarks=num_landmarks, par=par, r_var=tuple(r_var),
+        desc_weight=desc_weight,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "desc_words", "par", "r_var", "desc_weight", "interpret",
+    ),
+)
+def score_3d(
+    pose, lm_mean, lm_cov, lm_desc, lm_valid, z, desc,
+    *,
+    model: str,
+    desc_words: int,
+    par: tuple,
+    r_var: tuple,
+    desc_weight: float,
+    interpret: bool = False,
+):
+    """Association scores only: per (particle, observation) best landmark
+    (log-likelihood, lane) against the CURRENT map at the given poses —
+    pass 1 of the fused update as a standalone kernel. This is the
+    FastSLAM 2.0 proposal's single landmark sweep; feed the result to
+    `measurement_update_3d(ext_ll=..., ext_ix=...)` so the map pass skips
+    its own sweep. Scores are bit-identical to the fused kernel's pass 1
+    (same `_score_pass` trace).
+
+    Returns (top_ll [P, Z] f32, top_ix [P, Z] int32).
+    """
+    from parakeet_slam_tpu.core import geometry
+
+    par = dict(par)
+    P, L = lm_valid.shape
+    Z, Dz = z.shape
+    W = desc_words
+    Lp = _round_up(max(L, 128), 128)
+    pad = Lp - L
+
+    def pad_plane(a, fill=0.0):
+        if pad == 0:
+            return a
+        return jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
+
+    Rm = geometry.quat_to_matrix(pose[:, 3:])
+    Rcw = jnp.swapaxes(Rm, -1, -2)
+    cam = jnp.concatenate([Rcw.reshape(P, 9), pose[:, :3]], axis=1)
+
+    mean_planes = [pad_plane(lm_mean[..., k]) for k in range(3)]
+    cov_planes = [
+        pad_plane(lm_cov[..., i, j])
+        for (i, j) in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    ]
+    desc_planes = [
+        pad_plane(lm_desc[..., w].astype(jnp.int32)) for w in range(W)
+    ]
+    lv = pad_plane(lm_valid.astype(jnp.float32))
+    z_in = z.astype(jnp.float32)
+    dz_in = desc.astype(jnp.int32) if W > 0 else jnp.zeros((Z, 1), jnp.int32)
+
+    sc = next(c for c in (2048, 1024, 512, 256, 128) if Lp % c == 0)
+    hi_lane = jnp.max(
+        jnp.where(lm_valid, jnp.arange(L, dtype=jnp.int32)[None, :], -1)
+    )
+    nca = jnp.clip((hi_lane + sc) // sc, 0, Lp // sc).astype(jnp.int32)
+
+    Zp = _round_up(max(Z, 128), 128)
+    n_planes = 10 + W
+    budget = 48 * 1024 * 1024
+    per_particle = (n_planes * Lp + 2 * Zp) * 4
+    cands = [d for d in range(1, P + 1) if P % d == 0 and (d % 8 == 0 or d == P)]
+    fits = [d for d in cands if d * per_particle <= budget]
+    Pt = max(fits) if fits else min(cands)
+    grid = (P // Pt,)
+    vmem_limit = min(
+        100 * 1024 * 1024,
+        max(16 * 1024 * 1024, int(Pt * per_particle * 1.25) + (2 << 20)),
+    )
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    row = lambda w: pl.BlockSpec(
+        (Pt, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _score_entry,
+        model=model, Dz=Dz, desc_words=W, num_obs=Z, num_landmarks=L,
+        sc=sc, par=par, r_var=tuple(r_var), desc_weight=desc_weight,
+    )
+    ll, ix = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((P, Zp), jnp.float32),
+            jax.ShapeDtypeStruct((P, Zp), jnp.float32),
+        ),
+        in_specs=(
+            [smem(), smem(), smem()]
+            + [row(12)]
+            + [row(Lp)] * (9 + W + 1)
+        ),
+        out_specs=(row(Zp), row(Zp)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+    )(z_in, dz_in, nca[None], cam, *mean_planes, *cov_planes, *desc_planes, lv)
+    return ll[:, :Z], ix[:, :Z].astype(jnp.int32)

@@ -151,7 +151,24 @@ class SLAMSystem:
         self.graph = graph_mod.make_pose_graph(
             self.cfg.backend.max_keyframes, 4 * self.cfg.backend.max_keyframes
         )
-        self.state = self.slam.init_state()
+        # Multi-chip: dist.particle_axis > 1 shards the particle axis over
+        # the `ici` mesh axis (SURVEY §2b particle-DP) — the filter stage of
+        # the fused step runs under shard_map, the rest is GSPMD-propagated.
+        # Falls back to single-device when the mesh doesn't fit (e.g. the
+        # 1-chip bench host running a config-5 preset).
+        self._sharded = None
+        self.mesh = None
+        d = self.cfg.dist
+        n_mesh = d.particle_axis * d.map_axis
+        if d.particle_axis > 1 and n_mesh <= len(jax.devices()):
+            from parakeet_slam_tpu.dist.mesh import make_mesh
+            from parakeet_slam_tpu.dist.sharded_filter import ShardedFastSLAM
+
+            self.mesh = make_mesh(n_devices=n_mesh, map_axis=d.map_axis)
+            self._sharded = ShardedFastSLAM(self.slam, self.mesh)
+            self.state = self._sharded.init_state()
+        else:
+            self.state = self.slam.init_state()
         self.key = jax.random.PRNGKey(self.cfg.filter.seed)
         self.frame_idx = 0
         self.last_kf_pose = None
@@ -455,6 +472,13 @@ class SLAMSystem:
             | (jnp.linalg.norm(xi[3:]) > be.keyframe_rotation)
         )
 
+    def _filter_step(self, state, odom_u, obs, key):
+        """One filter step — through the shard_map'd sharded filter when a
+        particle mesh is configured, else the single-device FastSLAM step."""
+        if self._sharded is not None:
+            return self._sharded.step(state, odom_u, obs, key)
+        return self.slam.step(state, odom_u, obs, key)
+
     def _fused_tail(self, state, est, key_next, last_kf, has_kf, metrics):
         """Shared epilogue of every fused step: keyframe flag, device-side
         reference latch (a flagged frame's estimate becomes the reference
@@ -470,7 +494,7 @@ class SLAMSystem:
         k_step, key_next = jax.random.split(key)
         xy, desc, valid = self._frontend(img)
         obs = self._to_observation(xy, desc, valid)
-        state, metrics = self.slam.step(state, odom_u, obs, k_step)
+        state, metrics = self._filter_step(state, odom_u, obs, k_step)
         est = self.slam.estimate_pose(state)
         return self._fused_tail(state, est, key_next, last_kf, has_kf, metrics)
 
@@ -484,13 +508,13 @@ class SLAMSystem:
         disp, dvalid = keypoint_disparity(img_l, img_r, xy, valid)
         uvd = jnp.concatenate([xy, disp[:, None]], axis=1)
         obs = self._to_observation(uvd, desc, valid & dvalid)
-        state, metrics = self.slam.step(state, odom_u, obs, k_step)
+        state, metrics = self._filter_step(state, odom_u, obs, k_step)
         est = self.slam.estimate_pose(state)
         return self._fused_tail(state, est, key_next, last_kf, has_kf, metrics)
 
     def _fused_obs_impl(self, state, obs, odom_u, key, last_kf, has_kf):
         k_step, key_next = jax.random.split(key)
-        state, metrics = self.slam.step(state, odom_u, obs, k_step)
+        state, metrics = self._filter_step(state, odom_u, obs, k_step)
         est = self.slam.estimate_pose(state)
         return self._fused_tail(state, est, key_next, last_kf, has_kf, metrics)
 
@@ -810,18 +834,47 @@ class SLAMSystem:
             cam_fixed=cam_fixed,
         )
 
-    def run_ba(self, iters: int | None = None):
+    def run_ba(self, iters: int | None = None, distributed: bool | None = None):
+        """Refine keyframe poses + deduped points by bundle adjustment.
+
+        distributed=None (default) auto-selects: when dist.map_axis > 1 and
+        the mesh fits the available devices, the point blocks shard over
+        the `dcn` axis and the reduced camera system is psum-assembled
+        (dist/dist_ba.py — SURVEY §2b map-block parallelism); otherwise the
+        single-device bucketed solver runs."""
         prob = self.build_ba_problem()
         if prob is None:
             return None
         be = self.cfg.backend
-        res = ba_mod.optimize_ba(
-            self.camera, prob,
-            iters=iters or be.gn_iters,
-            pcg_iters=be.pcg_iters,
-            huber_delta=be.huber_delta,
-            solver=be.solver if be.solver in ("pcg", "dense") else "pcg",
-        )
+        d = self.cfg.dist
+        if distributed is None:
+            distributed = d.map_axis > 1 and d.map_axis <= len(jax.devices())
+        if distributed:
+            from parakeet_slam_tpu.dist import dist_ba
+            from parakeet_slam_tpu.dist.mesh import MAP_AXIS, make_mesh
+
+            mesh = self.mesh
+            if mesh is None or mesh.shape[MAP_AXIS] != d.map_axis:
+                mesh = make_mesh(n_devices=d.map_axis, map_axis=d.map_axis)
+            sp = dist_ba.shard_problem(prob, d.map_axis)
+            res_prob, costs = dist_ba.optimize_ba_distributed(
+                self.camera, sp, mesh,
+                iters=iters or be.gn_iters,
+                pcg_iters=be.pcg_iters,
+                huber_delta=be.huber_delta,
+            )
+            res = ba_mod.BAResult(
+                problem=res_prob, costs=costs,
+                pcg_residuals=jnp.zeros_like(costs),
+            )
+        else:
+            res = ba_mod.optimize_ba(
+                self.camera, prob,
+                iters=iters or be.gn_iters,
+                pcg_iters=be.pcg_iters,
+                huber_delta=be.huber_delta,
+                solver=be.solver if be.solver in ("pcg", "dense") else "pcg",
+            )
         for i, kf in enumerate(self.keyframes):
             kf.pose = np.asarray(res.problem.cam_pose[i])
         return res
