@@ -53,9 +53,12 @@ def measure_baseline(steps: int = 100) -> float:
     return steps / (time.time() - t0)
 
 
-def measure_tpu(num_steps: int = 500, use_pallas: bool = True) -> dict:
+def measure_tpu(
+    num_steps: int = 500, use_pallas: bool = True, n_seeds: int = 5
+) -> dict:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from parakeet_slam_tpu.core.config import FilterConfig
     from parakeet_slam_tpu.data import make_corridor
@@ -74,25 +77,38 @@ def measure_tpu(num_steps: int = 500, use_pallas: bool = True) -> dict:
         cfg = cfg.replace(use_pallas=False) if hasattr(cfg, "replace") else cfg
         slam = FastSLAM(cfg)
 
-    args = (
-        jnp.asarray(sim.odom), jnp.asarray(sim.obs_z),
-        jnp.asarray(sim.obs_sig), jnp.asarray(sim.obs_valid),
-        jax.random.PRNGKey(0),
-    )
+    def args_for(seed):
+        return (
+            jnp.asarray(sim.odom), jnp.asarray(sim.obs_z),
+            jnp.asarray(sim.obs_sig), jnp.asarray(sim.obs_valid),
+            jax.random.PRNGKey(seed),
+        )
+
     state0 = slam.init_state(init_pose=jnp.asarray(sim.gt_pose[0]))
 
     from parakeet_slam_tpu.eval.profiling import device_sync, timed
 
-    # compile + correctness pass (device_sync: block_until_ready does not
-    # actually block on the tunneled TPU backend here)
-    _, est, _ = run_sequence(slam, state0, *args)
-    device_sync(est)
-    ate = float(ate_rmse(est[:, :2], sim.gt_pose[:, :2]))
+    # ATE is SEED-AVERAGED: a single filter-RNG rollout of this sim has
+    # ~±0.05 m spread (round-1's 0.180 vs round-2's 0.214 were two draws of
+    # the same distribution after the v2 association rewrite changed the
+    # RNG consumption order — see BASELINE.md). Same compiled program for
+    # every seed.
+    ates = []
+    for s in range(n_seeds):
+        _, est, _ = run_sequence(slam, state0, *args_for(s))
+        device_sync(est)
+        ates.append(float(ate_rmse(est[:, :2], sim.gt_pose[:, :2])))
 
     dt, _ = timed(
-        lambda: run_sequence(slam, state0, *args)[1], reps=3, warmup=1
+        lambda: run_sequence(slam, state0, *args_for(0))[1], reps=3, warmup=1
     )
-    return {"fps": num_steps / dt, "ate": ate, "device": str(jax.devices()[0])}
+    return {
+        "fps": num_steps / dt,
+        "ate": float(np.mean(ates)),
+        "ate_std": float(np.std(ates)),
+        "ates": [round(a, 4) for a in ates],
+        "device": str(jax.devices()[0]),
+    }
 
 
 def main():
@@ -110,7 +126,8 @@ def main():
 
     r = measure_tpu(args.steps, use_pallas=not args.no_pallas)
     print(
-        f"device={r['device']} ate={r['ate']:.3f} fps={r['fps']:.1f} "
+        f"device={r['device']} ate={r['ate']:.3f}±{r['ate_std']:.3f} "
+        f"(seeds {r['ates']}) fps={r['fps']:.1f} "
         f"baseline={NUMPY_BASELINE_FPS}",
         file=sys.stderr,
     )
@@ -122,6 +139,7 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(r["fps"] / NUMPY_BASELINE_FPS, 2),
                 "ate_rmse_m": round(r["ate"], 4),
+                "ate_std_m": round(r["ate_std"], 4),
             }
         )
     )
