@@ -99,7 +99,15 @@ def bench_ekf3d(P=1024, L=8192, Z=32, model="equirect_3d"):
     ).astype(jnp.uint32)
     lm_valid = jnp.ones((P, L), bool)
     lm_count = jnp.ones((P, L), jnp.int32)
-    z = jax.random.uniform(key, (Z, Dz), minval=10.0, maxval=100.0)
+    # Observations spread over the full image extent, as a real detector
+    # produces (NMS-separated keypoints): clustering all Z observations in
+    # one corner makes every one associate to the SAME landmark chain —
+    # a worst-case collision cascade no real frame exhibits, which the
+    # pre-round-4 bench accidentally measured (z was drawn in a 90x90-px
+    # patch of the 2048x1024 panorama).
+    lo = jnp.array([0.0, 0.0, 2.0])[:Dz]
+    hi_z = jnp.array([2048.0, 1024.0, 40.0])[:Dz]
+    z = jax.random.uniform(key, (Z, Dz)) * (hi_z - lo) + lo
     desc = jax.random.randint(
         jax.random.fold_in(key, 3), (Z, W), 0, 2**31 - 1, dtype=jnp.int32
     ).astype(jnp.uint32)
@@ -162,7 +170,9 @@ def bench_fs_step(P=1024, L=8192, Z=32, algorithm="fastslam1"):
         lm_valid=jnp.ones((P, L), bool),
         lm_count=jnp.ones((P, L), jnp.int32),
     )
-    z = jax.random.uniform(key, (Z, 2), minval=10.0, maxval=900.0)
+    # full-image spread (see bench_ekf3d: clustered z = artificial
+    # worst-case collision cascade)
+    z = jax.random.uniform(key, (Z, 2)) * jnp.array([2048.0, 1024.0])
     desc = jax.random.randint(
         jax.random.fold_in(key, 3), (Z, 8), 0, 2**31 - 1, dtype=jnp.int32
     ).astype(jnp.uint32)

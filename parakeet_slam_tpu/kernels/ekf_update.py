@@ -384,36 +384,42 @@ def _kernel(
     jax.lax.fori_loop(0, ncw, round1_chunk, 0, unroll=False)
 
     if Z > 1:
-        def round_body(_m, _):
-            pending = (done_s[:, :] < 0.5).astype(jnp.float32)
-            any_pending = jnp.max(pending) > 0.0
+        # Early-exit WHILE loop over collision rounds (see the 3-D kernel:
+        # a fixed fori(1, Z) sweep paid (Z-1) x ncw narrow checks + scalar
+        # branch stalls per tile even with zero collisions — the round-4
+        # bisection measured that overhead as the largest cost in the
+        # frame). Runs exactly as many rounds as the deepest collision
+        # chain.
+        def round_cond(carry):
+            m, pend = carry
+            return pend & (m < Z)
 
-            @pl.when(any_pending)
-            def _():
-                def chunk_body(c, _):
-                    # skip chunks with no pending target lane
-                    lo = (c * ac).astype(jnp.float32)
-                    hi = ((c + 1) * ac).astype(jnp.float32)
-                    in_c = (
-                        (done_s[:, :] < 0.5)
-                        & (tgt_s[:, :] >= lo)
-                        & (tgt_s[:, :] < hi)
-                    )
-                    has_t = jnp.max(in_c.astype(jnp.float32)) > 0.0
+        def round_body(carry):
+            m, _ = carry
 
-                    @pl.when(has_t)
-                    def _():
-                        apply_chunk(c, first_round=False)
+            def chunk_body(c, _):
+                # skip chunks with no pending target lane
+                lo = (c * ac).astype(jnp.float32)
+                hi = ((c + 1) * ac).astype(jnp.float32)
+                in_c = (
+                    (done_s[:, :] < 0.5)
+                    & (tgt_s[:, :] >= lo)
+                    & (tgt_s[:, :] < hi)
+                )
+                has_t = jnp.max(in_c.astype(jnp.float32)) > 0.0
 
-                    return 0
+                @pl.when(has_t)
+                def _():
+                    apply_chunk(c, first_round=False)
 
-                jax.lax.fori_loop(0, ncw, chunk_body, 0, unroll=False)
+                return 0
 
-            return 0
+            jax.lax.fori_loop(0, ncw, chunk_body, 0, unroll=False)
+            pend = jnp.max((done_s[:, :] < 0.5).astype(jnp.float32)) > 0.0
+            return m + 1, pend
 
-        # Z-1 further rounds worst-case; rounds after the last pending obs
-        # are skipped at runtime by the pl.when predicate.
-        jax.lax.fori_loop(1, Z, round_body, 0)
+        pend0 = jnp.max((done_s[:, :] < 0.5).astype(jnp.float32)) > 0.0
+        jax.lax.while_loop(round_cond, round_body, (jnp.int32(1), pend0))
 
 
 def _round_up(x, m):

@@ -379,6 +379,7 @@ def _kernel(
     cull: bool,
     update_weights: bool,
     ext_scores: bool = False,
+    skip: tuple = (),
 ):
     W = desc_words
     mean_in = refs[0:3]
@@ -568,36 +569,47 @@ def _kernel(
         apply_chunk(c, first_round=True)
         return 0
 
-    jax.lax.fori_loop(0, ncw, round1_chunk, 0, unroll=False)
+    if "round1" not in skip:
+        jax.lax.fori_loop(0, ncw, round1_chunk, 0, unroll=False)
 
-    if Z > 1:
-        def round_body(_m, _):
-            pending = (done_s[:, :] < 0.5).astype(jnp.float32)
-            any_pending = jnp.max(pending) > 0.0
+    if Z > 1 and "rounds" not in skip:
+        # Early-exit WHILE loop, not a fixed Z-1 fori sweep: collisions
+        # (two observations associating to the same lane) are rare, so the
+        # common case is ZERO extra rounds — but a fori(1, Z) still paid
+        # (Z-1) x ncw narrow pending/range checks + scalar-branch pipeline
+        # stalls per tile, which the round-4 bisection measured at ~24 ms
+        # of the 42 ms frame (the single largest cost in the kernel). The
+        # while form runs exactly as many rounds as the deepest collision
+        # chain.
+        def round_cond(carry):
+            m, pend = carry
+            return pend & (m < Z)
 
-            @pl.when(any_pending)
-            def _():
-                def chunk_body(c, _):
-                    lo = (c * ac).astype(jnp.float32)
-                    hi = ((c + 1) * ac).astype(jnp.float32)
-                    in_c = (
-                        (done_s[:, :] < 0.5)
-                        & (tgt_s[:, :] >= lo)
-                        & (tgt_s[:, :] < hi)
-                    )
-                    has_t = jnp.max(in_c.astype(jnp.float32)) > 0.0
+        def round_body(carry):
+            m, _ = carry
 
-                    @pl.when(has_t)
-                    def _():
-                        apply_chunk(c, first_round=False)
+            def chunk_body(c, _):
+                lo = (c * ac).astype(jnp.float32)
+                hi = ((c + 1) * ac).astype(jnp.float32)
+                in_c = (
+                    (done_s[:, :] < 0.5)
+                    & (tgt_s[:, :] >= lo)
+                    & (tgt_s[:, :] < hi)
+                )
+                has_t = jnp.max(in_c.astype(jnp.float32)) > 0.0
 
-                    return 0
+                @pl.when(has_t)
+                def _():
+                    apply_chunk(c, first_round=False)
 
-                jax.lax.fori_loop(0, ncw, chunk_body, 0, unroll=False)
+                return 0
 
-            return 0
+            jax.lax.fori_loop(0, ncw, chunk_body, 0, unroll=False)
+            pend = jnp.max((done_s[:, :] < 0.5).astype(jnp.float32)) > 0.0
+            return m + 1, pend
 
-        jax.lax.fori_loop(1, Z, round_body, 0)
+        pend0 = jnp.max((done_s[:, :] < 0.5).astype(jnp.float32)) > 0.0
+        jax.lax.while_loop(round_cond, round_body, (jnp.int32(1), pend0))
 
     # ---- pass 5: latest-wins descriptor refresh at touched lanes ---------
     # (must run after ALL rounds: collided lanes take the LAST obs's
@@ -619,7 +631,8 @@ def _kernel(
 
             return 0
 
-        jax.lax.fori_loop(0, ncw, desc_chunk, 0, unroll=False)
+        if "desc" not in skip:
+            jax.lax.fori_loop(0, ncw, desc_chunk, 0, unroll=False)
 
 
 def _round_up(x, m):
@@ -631,7 +644,7 @@ def _round_up(x, m):
     static_argnames=(
         "model", "desc_words", "par", "r_var", "desc_weight", "log_p0",
         "init_infl", "init_range_prior", "init_range_sigma", "max_range",
-        "cull", "interpret", "update_weights",
+        "cull", "interpret", "update_weights", "skip",
     ),
 )
 def measurement_update_3d(
@@ -652,6 +665,7 @@ def measurement_update_3d(
     cull: bool,
     interpret: bool = False,
     update_weights: bool = True,
+    skip: tuple = (),
 ):
     """Pallas-fused frame measurement update for the 3-D camera models.
 
@@ -774,6 +788,7 @@ def measurement_update_3d(
         cull=cull,
         update_weights=update_weights,
         ext_scores=use_ext,
+        skip=skip,
     )
 
     aliases = {5 + i: i for i in range(n_aliased)}
@@ -938,8 +953,9 @@ def score_3d(
 
     Zp = _round_up(max(Z, 128), 128)
     n_planes = 10 + W
-    budget = 48 * 1024 * 1024
-    per_particle = (n_planes * Lp + 2 * Zp) * 4
+    budget = 40 * 1024 * 1024
+    # x2: the Pallas pipeline double-buffers the streamed input blocks
+    per_particle = (2 * n_planes * Lp + 4 * Zp) * 4
     cands = [d for d in range(1, P + 1) if P % d == 0 and (d % 8 == 0 or d == P)]
     fits = [d for d in cands if d * per_particle <= budget]
     Pt = max(fits) if fits else min(cands)
