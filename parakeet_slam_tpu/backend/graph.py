@@ -373,6 +373,40 @@ def pack_buckets(prob: BAProblem, caps=_BUCKET_CAPS) -> BAProblemBuckets:
     )
 
 
+def cap_obs_per_point(prob: BAProblem, k: int) -> BAProblem:
+    """Host-side covisibility thinning: keep at most k observations per
+    point, spread evenly across that point's observing cameras (by
+    observation order = keyframe order). Long multi-session runs re-observe
+    hall landmarks hundreds of times; beyond a few dozen views per point
+    the extra residuals barely change the solution but the bucketed
+    point-major pack's [Lb, Kmax] temporaries grow linearly (267-view
+    points OOMed the round-4 EuRoC joint BA). Must be called outside jit."""
+    import numpy as np
+
+    if k <= 0:
+        return prob
+    obs_pt = np.asarray(prob.obs_pt)
+    valid = np.asarray(prob.obs_valid).copy()
+    idx = np.nonzero(valid)[0]
+    if idx.size == 0:
+        return prob
+    order = np.argsort(obs_pt[idx], kind="stable")
+    o_sorted = idx[order]
+    pts_sorted = obs_pt[o_sorted]
+    counts = np.bincount(pts_sorted, minlength=prob.num_points)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    rank = np.arange(o_sorted.size) - starts[pts_sorted]
+    cnt = np.maximum(counts[pts_sorted], 1)
+    # Even decimation: keep rank r iff floor(r*k/c) advanced. For c > k
+    # this keeps exactly k ranks (floor hits each of 0..k-1 once); for
+    # c <= k it advances every step and keeps all.
+    keep = (rank * k) // cnt != ((rank - 1) * k) // cnt
+    keep |= rank == 0
+    drop = o_sorted[~keep]
+    valid[drop] = False
+    return prob.replace(obs_valid=jnp.asarray(valid))
+
+
 def estimate_relative_pose_3d3d(pa: jax.Array, pb: jax.Array, valid: jax.Array):
     """SE(3) T such that pa ≈ T(pb), from masked 3-D correspondences
     (Horn/Umeyama closed form, weights = valid mask). Used to turn loop-

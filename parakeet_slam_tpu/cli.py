@@ -279,7 +279,11 @@ def _run_euroc_multisession(cfg, args, roots):
     iters = args.ba if args.ba > 0 else cfg.backend.gn_iters
     prob = sys_.build_ba_problem()
     if prob is not None:
+        from parakeet_slam_tpu.backend import graph as graph_mod
+
         be = cfg.backend
+        if be.ba_max_obs_per_point > 0:
+            prob = graph_mod.cap_obs_per_point(prob, be.ba_max_obs_per_point)
         solve = lambda: ba_mod.optimize_ba(  # noqa: E731
             sys_.camera, prob, iters=iters, pcg_iters=be.pcg_iters,
             huber_delta=be.huber_delta,

@@ -73,6 +73,16 @@ class FilterConfig:
     # Landmark culling: counter decremented when in-FOV but unmatched;
     # slot freed when counter < 0 (SURVEY.md §3 step 4).
     cull_enabled: bool = True
+    # Decay-eviction: ALSO decrement valid-but-unmatched lanes that are OUT
+    # of view. The textbook rule never frees out-of-view lanes, so on long
+    # trajectories the fixed-capacity map fills with the first ~L landmarks
+    # and every later street section becomes unmappable (observed: KITTI's
+    # 10240 lanes full by frame ~80 of 700 -> pure-odometry drift and no
+    # revisit closures). With decay, a lane survives ~count frames unseen
+    # (count grows +2 per match), the map tracks the current neighborhood,
+    # and long-term memory lives in the keyframe store where loop closure
+    # actually uses it.
+    cull_unseen: bool = False
     max_range: float = 10.0      # FOV range gate
     fov_half_angle: float = 3.15 # FOV bearing gate (rad); > pi = omnidirectional
 
@@ -115,6 +125,12 @@ class BackendConfig:
     huber_delta: float = 2.0         # robust loss on reprojection residuals
     solver: str = "cholesky"         # cholesky | pcg for the reduced system
     loop_inlier_radius: float = 0.7  # Horn-fit consensus gate (meters)
+    # Covisibility thinning before BA: keep at most this many observations
+    # per point, evenly spread over its observing keyframes (0 = unlimited).
+    # Multi-session runs re-observe landmarks hundreds of times; past a few
+    # dozen views the extra residuals barely move the solution but the
+    # point-major pack's [Lb, Kmax] buckets grow linearly.
+    ba_max_obs_per_point: int = 64
     # Loop-closure candidates must be at least this many FRAMES older than
     # the querying keyframe (frame-based, not keyframe-index-based, so the
     # gate is independent of keyframe cadence): nearby keyframes share

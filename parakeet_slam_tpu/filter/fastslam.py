@@ -281,6 +281,7 @@ class FastSLAM:
                 max_range=c.max_range,
                 fov_half=c.fov_half_angle,
                 cull=c.cull_enabled,
+                cull_unseen=c.cull_unseen,
                 interpret=interpret,
                 update_weights=weight_matched,
             )
@@ -337,6 +338,7 @@ class FastSLAM:
                 init_range_sigma=float(c.init_range_sigma),
                 max_range=float(c.max_range),
                 cull=c.cull_enabled,
+                cull_unseen=c.cull_unseen,
                 interpret=interpret,
                 update_weights=weight_matched,
             )
@@ -424,9 +426,18 @@ class FastSLAM:
 
         # --- map management: decrement in-FOV-but-unmatched, cull ---------
         if c.cull_enabled:
-            fov_fn = jax.vmap(jax.vmap(self.model.in_fov, in_axes=(None, 0)), in_axes=(0, 0))
-            in_fov = fov_fn(state.pose, state.lm_mean)
-            decrement = state.lm_valid & in_fov & ~matched
+            if c.cull_unseen:
+                # decay-eviction (config.cull_unseen): unmatched lanes age
+                # regardless of visibility, so long trajectories recycle
+                # capacity instead of freezing on the first L landmarks
+                decrement = state.lm_valid & ~matched
+            else:
+                fov_fn = jax.vmap(
+                    jax.vmap(self.model.in_fov, in_axes=(None, 0)),
+                    in_axes=(0, 0),
+                )
+                in_fov = fov_fn(state.pose, state.lm_mean)
+                decrement = state.lm_valid & in_fov & ~matched
             count = state.lm_count - decrement.astype(jnp.int32)
             alive = state.lm_valid & (count >= 0)
             state = state.replace(lm_count=count, lm_valid=alive)

@@ -121,6 +121,7 @@ def _kernel(
     max_range: float,
     fov_half: float,
     cull: bool,
+    cull_unseen: bool,
     update_weights: bool,
 ):
     S = sig_dim
@@ -355,17 +356,22 @@ def _kernel(
         # --- FOV cull, fused into round 1 (exact: collision rounds only
         # touch matched lanes, which are never cull-decremented) ------------
         if cull and first_round:
-            dxc = mxf - px
-            dyc = myf - py
-            rc = jnp.sqrt(dxc * dxc + dyc * dyc + 1e-12)
-            phi = _wrap(_atan2(dyc, dxc) - pth)
-            in_fov = (rc < max_range) & (jnp.abs(phi) < fov_half)
-            dec = (
-                (lvf > 0)
-                & (lanes < num_landmarks)
-                & in_fov
-                & ~already
-            )
+            if cull_unseen:
+                # decay-eviction: every valid unmatched lane ages
+                # (config.cull_unseen — long-trajectory lane recycling)
+                dec = (lvf > 0) & (lanes < num_landmarks) & ~already
+            else:
+                dxc = mxf - px
+                dyc = myf - py
+                rc = jnp.sqrt(dxc * dxc + dyc * dyc + 1e-12)
+                phi = _wrap(_atan2(dyc, dxc) - pth)
+                in_fov = (rc < max_range) & (jnp.abs(phi) < fov_half)
+                dec = (
+                    (lvf > 0)
+                    & (lanes < num_landmarks)
+                    & in_fov
+                    & ~already
+                )
             lcf = lcf - dec.astype(jnp.float32)
             lvf = jnp.where((lvf > 0) & (lcf >= 0.0), 1.0, 0.0)
 
@@ -430,7 +436,8 @@ def _round_up(x, m):
     jax.jit,
     static_argnames=(
         "sig_dim", "r_var", "sig_var", "log_p0", "init_infl",
-        "max_range", "fov_half", "cull", "interpret", "update_weights",
+        "max_range", "fov_half", "cull", "cull_unseen", "interpret",
+        "update_weights",
     ),
 )
 def measurement_update_2d(
@@ -445,6 +452,7 @@ def measurement_update_2d(
     max_range: float,
     fov_half: float,
     cull: bool,
+    cull_unseen: bool = False,
     interpret: bool = False,
     update_weights: bool = True,
 ):
@@ -548,6 +556,7 @@ def measurement_update_2d(
         max_range=max_range,
         fov_half=fov_half,
         cull=cull,
+        cull_unseen=cull_unseen,
         update_weights=update_weights,
     )
 

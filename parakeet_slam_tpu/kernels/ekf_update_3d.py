@@ -377,6 +377,7 @@ def _kernel(
     init_range_sigma: float,
     max_range: float,
     cull: bool,
+    cull_unseen: bool,
     update_weights: bool,
     ext_scores: bool = False,
     skip: tuple = (),
@@ -548,15 +549,20 @@ def _kernel(
         # --- FOV cull, fused into round 1 (exact: collision rounds only
         # touch matched lanes, which are never cull-decremented) ------------
         if cull and first_round:
-            pc = _cam_point(R, t, m_f)
-            zh_c = _model_zhat(model, pc, par)
-            in_fov = _model_in_fov(model, pc, zh_c, par, max_range)
-            dec = (
-                (lvf > 0)
-                & (lanes < num_landmarks)
-                & in_fov
-                & ~already
-            )
+            if cull_unseen:
+                # decay-eviction: every valid unmatched lane ages
+                # (config.cull_unseen — long-trajectory lane recycling)
+                dec = (lvf > 0) & (lanes < num_landmarks) & ~already
+            else:
+                pc = _cam_point(R, t, m_f)
+                zh_c = _model_zhat(model, pc, par)
+                in_fov = _model_in_fov(model, pc, zh_c, par, max_range)
+                dec = (
+                    (lvf > 0)
+                    & (lanes < num_landmarks)
+                    & in_fov
+                    & ~already
+                )
             lcf = lcf - dec.astype(jnp.float32)
             lvf = jnp.where((lvf > 0) & (lcf >= 0.0), 1.0, 0.0)
 
@@ -644,7 +650,7 @@ def _round_up(x, m):
     static_argnames=(
         "model", "desc_words", "par", "r_var", "desc_weight", "log_p0",
         "init_infl", "init_range_prior", "init_range_sigma", "max_range",
-        "cull", "interpret", "update_weights", "skip",
+        "cull", "cull_unseen", "interpret", "update_weights", "skip",
     ),
 )
 def measurement_update_3d(
@@ -663,6 +669,7 @@ def measurement_update_3d(
     init_range_sigma: float,
     max_range: float,
     cull: bool,
+    cull_unseen: bool = False,
     interpret: bool = False,
     update_weights: bool = True,
     skip: tuple = (),
@@ -786,6 +793,7 @@ def measurement_update_3d(
         init_range_sigma=init_range_sigma,
         max_range=max_range,
         cull=cull,
+        cull_unseen=cull_unseen,
         update_weights=update_weights,
         ext_scores=use_ext,
         skip=skip,

@@ -257,15 +257,35 @@ class SLAMSystem:
         """Best-particle map snapshot in the keyframe frame — one jitted
         program so keyframe creation costs one dispatch + one device_get
         (the round-2 version issued ~6 separate fetches per keyframe at
-        ~24 ms round-trip each)."""
+        ~24 ms round-trip each).
+
+        Lane SELECTION is view-relevance-ranked: valid in-FOV lanes first
+        (most-observed first), then valid out-of-view lanes. The round-3
+        version took the FIRST F lanes of the table — at KITTI scale
+        (L=10240, F=512) those low lanes hold whatever allocation history
+        left there, so revisit keyframes never shared landmarks with the
+        keyframes they should close against (the 700-frame loop produced
+        exactly one closure, between keyframes 4 frames apart, with
+        residual 0.000 — a tautology; the real end-of-circuit closure
+        never fired)."""
         means, valid = self.slam.best_particle_map(state)
         best = jnp.argmax(state.log_w)
         desc = state.lm_desc[best]
+        count = state.lm_count[best]
         F = min(self.cfg.frontend.max_features, means.shape[0])
+        in_fov = jax.vmap(
+            lambda m: self.slam.model.in_fov(est_pose, m)
+        )(means)
+        score = jnp.where(
+            valid,
+            jnp.where(in_fov, 1e6, 0.0) + count.astype(jnp.float32),
+            -1.0,
+        )
+        _, sel = jax.lax.top_k(score, F)
         pts_kf = jax.vmap(
             lambda m: geometry.se3_apply_inverse(est_pose, m)
-        )(means[:F])
-        return pts_kf, desc[:F], valid[:F]
+        )(means[sel])
+        return pts_kf, desc[sel], valid[sel]
 
     def _make_keyframe(self, est_pose, snap=None, frame=None):
         """Materialize a keyframe from a map snapshot (the flagged frame's
@@ -846,6 +866,8 @@ class SLAMSystem:
         if prob is None:
             return None
         be = self.cfg.backend
+        if be.ba_max_obs_per_point > 0:
+            prob = graph_mod.cap_obs_per_point(prob, be.ba_max_obs_per_point)
         d = self.cfg.dist
         if distributed is None:
             distributed = d.map_axis > 1 and d.map_axis <= len(jax.devices())

@@ -63,7 +63,8 @@ def _kernel_call(slam, st, obs):
         init_infl=float(c.init_cov_inflation),
         init_range_prior=float(c.init_range_prior),
         init_range_sigma=float(c.init_range_sigma),
-        max_range=float(c.max_range), cull=c.cull_enabled, interpret=True,
+        max_range=float(c.max_range), cull=c.cull_enabled,
+        cull_unseen=c.cull_unseen, interpret=True,
     )
 
 
@@ -254,3 +255,41 @@ class TestWeightSuppressed3D:
             np.where(mask, np.asarray(new_p.lm_mean), 0),
             atol=1e-4,
         )
+
+
+class TestCullUnseenParity:
+    def test_decay_eviction_matches_xla_and_frees_lanes(self):
+        """cull_unseen: unmatched lanes age regardless of visibility, so an
+        out-of-view landmark decays and frees its lane; Pallas and XLA
+        paths agree exactly on the decayed validity."""
+        import dataclasses
+
+        fc, fe = _cfgs("pinhole_3d", 2)
+        fc = dataclasses.replace(fc, cull_unseen=True)
+        slam = FastSLAM(fc, fe)
+        st_x = slam.init_state()
+        # plant a landmark BEHIND the camera (z < 0: never in FOV) with a
+        # small count, and one in front with a big count
+        st_x = st_x.replace(
+            lm_mean=st_x.lm_mean.at[:, 0].set(jnp.array([0.0, 0.0, -5.0]))
+                     .at[:, 1].set(jnp.array([0.0, 0.0, 8.0])),
+            lm_valid=st_x.lm_valid.at[:, :2].set(True),
+            lm_count=st_x.lm_count.at[:, 0].set(1).at[:, 1].set(50),
+        )
+        st_p = st_x
+        obs = _rand_obs(jax.random.PRNGKey(3), "pinhole_3d", 2, 2, 4, 8)
+        for f in range(3):
+            st_x, _ = slam.measurement_core(st_x, obs)
+            out = _kernel_call(slam, st_p, obs)
+            st_p = st_p.replace(
+                log_w=out[0], lm_mean=out[1], lm_cov=out[2], lm_desc=out[3],
+                lm_valid=out[4], lm_count=out[5],
+            )
+            np.testing.assert_array_equal(
+                np.asarray(st_p.lm_valid), np.asarray(st_x.lm_valid),
+                err_msg=f"frame {f}",
+            )
+        # the behind-camera landmark decayed away (count 1 -> gone);
+        # without cull_unseen it would have lived forever
+        assert not bool(st_x.lm_valid[:, 0].any())
+        assert bool(st_x.lm_valid[:, 1].all())

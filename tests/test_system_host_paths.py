@@ -239,3 +239,47 @@ class TestVectorizedBAAssembly:
         res = sys_.run_ba(iters=2)
         assert res is not None
         assert np.isfinite(np.asarray(res.problem.cam_pose)).all()
+
+
+class TestCapObsPerPoint:
+    def test_even_decimation_caps_counts(self):
+        import jax.numpy as jnp
+
+        from parakeet_slam_tpu.backend import graph as graph_mod
+
+        rng = np.random.default_rng(13)
+        n_pts, n_obs = 6, 200
+        obs_pt = rng.integers(0, n_pts, n_obs).astype(np.int32)
+        obs_pt[:5] = 5  # ensure a small group too
+        valid = rng.random(n_obs) > 0.1
+        prob = graph_mod.make_ba_problem(
+            jnp.zeros((2, 7)).at[:, 6].set(1.0),
+            jnp.asarray(rng.normal(size=(n_pts, 3)).astype(np.float32)),
+            jnp.zeros(n_obs, jnp.int32),
+            jnp.asarray(obs_pt),
+            jnp.asarray(rng.normal(size=(n_obs, 2)).astype(np.float32)),
+            obs_valid=jnp.asarray(valid),
+        )
+        k = 8
+        capped = graph_mod.cap_obs_per_point(prob, k)
+        v0 = np.asarray(prob.obs_valid)
+        v1 = np.asarray(capped.obs_valid)
+        assert (~v0 | v1 | ~v1).all()  # capping only clears bits
+        assert not (v1 & ~v0).any()
+        counts = np.bincount(np.asarray(prob.obs_pt)[v1], minlength=n_pts)
+        assert counts.max() <= k
+        # groups at/below the cap are untouched
+        c0 = np.bincount(np.asarray(prob.obs_pt)[v0], minlength=n_pts)
+        for p in range(n_pts):
+            if c0[p] <= k:
+                assert counts[p] == c0[p], p
+            else:
+                assert counts[p] == k, p
+        # kept observations are spread: first and (near-)last ranks survive
+        idx = np.nonzero(v0)[0]
+        order = np.argsort(np.asarray(prob.obs_pt)[idx], kind="stable")
+        o_sorted = idx[order]
+        for p in range(n_pts):
+            grp = o_sorted[np.asarray(prob.obs_pt)[o_sorted] == p]
+            if len(grp) > k:
+                assert v1[grp[0]]  # rank 0 kept
