@@ -478,6 +478,16 @@ def _optimize_buckets(
             dc = jnp.linalg.solve(S.T, rhs.reshape(-1)).reshape(C_, 6)
             pcg_res = jnp.float32(0.0)
 
+        # Trust-region sanitization: an ill-conditioned reduced system can
+        # return inf/NaN or astronomically long steps (observed on the
+        # EuRoC multi-session problem — se3_exp(inf) poisons the candidate
+        # and LM rejects every iteration forever). Non-finite components
+        # zero out; camera steps clamp to 1.0 in the SE(3) tangent.
+        dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
+        dc = dc * jnp.minimum(
+            1.0, 1.0 / (jnp.linalg.norm(dc, axis=1, keepdims=True) + 1e-12)
+        )
+
         # back-substitute: δp = -C⁻¹(w_g + Eᵀ δc), one scatter-add per step
         dp_full = jnp.zeros_like(points)
         for pt_idx, row_valid, p_cam, Jc, Jp, w, Cb, wg, onehot in per_bucket:
@@ -486,6 +496,10 @@ def _optimize_buckets(
             Etdc = jnp.einsum("lkdi,lkd->li", Jp, t)
             dp = -schur.cinv_apply(Cb, wg + Etdc)
             dp_full = dp_full.at[pt_idx].add(dp * row_valid[:, None])
+        dp_full = jnp.where(jnp.isfinite(dp_full), dp_full, 0.0)
+        dp_full = dp_full * jnp.minimum(
+            1.0, 5.0 / (jnp.linalg.norm(dp_full, axis=1, keepdims=True) + 1e-12)
+        )
 
         new_cam = jax.vmap(
             lambda po, d: geometry.se3_compose(po, geometry.se3_exp(d))
@@ -495,11 +509,14 @@ def _optimize_buckets(
 
         old_cost = _cost_buckets(camera, bk, cam_pose, points, huber_delta, onehots)
         new_cost = _cost_buckets(camera, bk, new_cam, new_points, huber_delta, onehots)
-        accept = new_cost < old_cost
+        accept = jnp.isfinite(new_cost) & (new_cost < old_cost)
         cam_out = jnp.where(accept, new_cam, cam_pose)
         pts_out = jnp.where(accept, new_points, points)
         lam_next = jnp.where(accept, lam_t * 0.5, lam_t * 4.0)
-        return (cam_out, pts_out, lam_next), (new_cost, pcg_res)
+        # report the ACHIEVED cost (a rejected candidate's cost — possibly
+        # non-finite — is not the state the solver returns)
+        cost_rep = jnp.where(accept, new_cost, old_cost)
+        return (cam_out, pts_out, lam_next), (cost_rep, pcg_res)
 
     # fp32 accumulation discipline (SURVEY.md §8): TPU's default bf16 matmul
     # precision corrupts the normal equations enough to stall/diverge LM.
