@@ -835,12 +835,14 @@ class SLAMSystem:
                 file=_sys.stderr,
             )
         pid_c = jnp.clip(pid, 0, cap - 1)
-        p_cam = jax.vmap(
-            lambda T, ps: jax.vmap(
-                lambda p: geometry.se3_apply_inverse(T, p)
-            )(ps)
-        )(poses_d, sp[pid_c])
-        uv = self.camera.project(p_cam)                     # [K, F, Dz]
+        # Observations are each keyframe's OWN measured landmark position
+        # (kf.points_kf, the snapshot-time local coordinates) projected
+        # through the camera — NOT the deduped store position projected
+        # into every camera, which would make the problem exactly
+        # self-consistent at its initial values (cost 0, BA a no-op — the
+        # round-4 EuRoC joint BA was such a tautology). Independent per-
+        # keyframe measurements of the same point are what BA reconciles.
+        uv = self.camera.project(jnp.asarray(pts_kf))       # [K, F, Dz]
         cam_fixed = jnp.zeros((K,), bool).at[0].set(True)
         if K > 1:
             cam_fixed = cam_fixed.at[1].set(True)  # pin monocular scale gauge

@@ -283,3 +283,34 @@ class TestCapObsPerPoint:
             grp = o_sorted[np.asarray(prob.obs_pt)[o_sorted] == p]
             if len(grp) > k:
                 assert v1[grp[0]]  # rank 0 kept
+
+
+class TestBAIsNotATautology:
+    def test_noisy_keyframe_measurements_give_nonzero_cost_and_ba_reduces_it(self):
+        """Regression for the round-4 EuRoC no-op: build_ba_problem must use
+        each keyframe's OWN measured local points as observations — with
+        per-keyframe measurement noise the initial cost is nonzero and BA
+        reduces it. (Projecting the deduped store position into every
+        camera instead makes the problem self-consistent at its initial
+        values: cost identically 0, LM strictly rejects every step.)"""
+        from parakeet_slam_tpu.backend import ba as ba_mod
+
+        rng = np.random.default_rng(21)
+        sys_ = SLAMSystem(_cfg(max_landmarks=128))
+        F, W = 32, 8
+        world = rng.uniform(-6, 6, (F, 3)).astype(np.float32)
+        desc = rng.integers(0, 2**32, (F, W), dtype=np.uint32)
+        for i in range(4):
+            pose = np.array([0.6 * i, 0.1 * i, 0, 0, 0, 0, 1], np.float32)
+            noisy = world + rng.normal(0, 0.05, world.shape).astype(np.float32)
+            kf = _make_kf(i, pose, noisy, desc, np.ones(F, bool))
+            sys_.keyframes.append(kf)
+            sys_._kf_store_append(kf)
+        prob = sys_.build_ba_problem()
+        assert prob is not None
+        cost0 = float(ba_mod.ba_cost(sys_.camera, prob, huber_delta=2.0))
+        assert cost0 > 1.0, cost0  # independent measurements disagree
+        res = sys_.run_ba(iters=8)
+        cost1 = float(np.asarray(res.costs)[-1])
+        assert np.isfinite(cost1)
+        assert cost1 < cost0, (cost0, cost1)
