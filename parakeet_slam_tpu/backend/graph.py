@@ -407,6 +407,27 @@ def cap_obs_per_point(prob: BAProblem, k: int) -> BAProblem:
     return prob.replace(obs_valid=jnp.asarray(valid))
 
 
+def gate_outlier_obs(camera, prob: BAProblem, max_px: float) -> BAProblem:
+    """Invalidate observations whose reprojection residual at the INITIAL
+    values exceeds max_px — the standard gross-outlier gate before bundle
+    adjustment (wrong data associations and diverged landmarks produce
+    1e5-px-class residuals whose robustified cost still drowns the real
+    signal)."""
+    from parakeet_slam_tpu.core import geometry as geo
+
+    cam = prob.cam_pose[prob.obs_cam]
+    pt = prob.points[prob.obs_pt]
+    p_cam = jax.vmap(geo.se3_apply_inverse)(cam, pt)
+    pred = camera.project(p_cam)
+    if hasattr(camera, "residual"):
+        r = camera.residual(prob.obs_uv, pred)
+    else:
+        r = prob.obs_uv - pred
+    n = jnp.linalg.norm(r, axis=-1)
+    ok = jnp.isfinite(n) & (n < max_px)
+    return prob.replace(obs_valid=prob.obs_valid & ok)
+
+
 def estimate_relative_pose_3d3d(pa: jax.Array, pb: jax.Array, valid: jax.Array):
     """SE(3) T such that pa ≈ T(pb), from masked 3-D correspondences
     (Horn/Umeyama closed form, weights = valid mask). Used to turn loop-

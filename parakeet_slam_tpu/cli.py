@@ -282,10 +282,13 @@ def _run_euroc_multisession(cfg, args, roots):
         from parakeet_slam_tpu.backend import graph as graph_mod
 
         be = cfg.backend
+        if be.ba_outlier_px > 0:
+            prob = graph_mod.gate_outlier_obs(sys_.camera, prob, be.ba_outlier_px)
         if be.ba_max_obs_per_point > 0:
             prob = graph_mod.cap_obs_per_point(prob, be.ba_max_obs_per_point)
         solve = lambda: ba_mod.optimize_ba(  # noqa: E731
-            sys_.camera, prob, iters=iters, pcg_iters=be.pcg_iters,
+            sys_.camera, prob, iters=iters, lam=be.lm_damping_init,
+            pcg_iters=be.pcg_iters,
             huber_delta=be.huber_delta,
             solver=be.solver if be.solver in ("pcg", "dense") else "pcg",
         )

@@ -125,6 +125,11 @@ class BackendConfig:
     huber_delta: float = 2.0         # robust loss on reprojection residuals
     solver: str = "cholesky"         # cholesky | pcg for the reduced system
     loop_inlier_radius: float = 0.7  # Horn-fit consensus gate (meters)
+    # Gross-outlier gate before BA: drop observations whose initial
+    # reprojection residual exceeds this many pixels (0 = off). Wrong
+    # associations / diverged landmarks produce 1e5-px-class residuals
+    # whose robustified cost still drowns the real signal.
+    ba_outlier_px: float = 200.0
     # Covisibility thinning before BA: keep at most this many observations
     # per point, evenly spread over its observing keyframes (0 = unlimited).
     # Multi-session runs re-observe landmarks hundreds of times; past a few

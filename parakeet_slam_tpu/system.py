@@ -276,8 +276,13 @@ class SLAMSystem:
         in_fov = jax.vmap(
             lambda m: self.slam.model.in_fov(est_pose, m)
         )(means)
+        # Sanity gate: a monocular EKF lane can diverge (means at 1e28 were
+        # observed leaking into keyframes and poisoning BA observations to
+        # inf). Exclude non-finite or absurdly distant lanes entirely.
+        dist = jnp.linalg.norm(means - est_pose[:3][None, :], axis=-1)
+        sane = jnp.isfinite(dist) & (dist < 8.0 * self.cfg.filter.max_range)
         score = jnp.where(
-            valid,
+            valid & sane,
             jnp.where(in_fov, 1e6, 0.0) + count.astype(jnp.float32),
             -1.0,
         )
@@ -285,7 +290,7 @@ class SLAMSystem:
         pts_kf = jax.vmap(
             lambda m: geometry.se3_apply_inverse(est_pose, m)
         )(means[sel])
-        return pts_kf, desc[sel], valid[sel]
+        return pts_kf, desc[sel], valid[sel] & sane[sel]
 
     def _make_keyframe(self, est_pose, snap=None, frame=None):
         """Materialize a keyframe from a map snapshot (the flagged frame's
@@ -843,6 +848,14 @@ class SLAMSystem:
         # round-4 EuRoC joint BA was such a tautology). Independent per-
         # keyframe measurements of the same point are what BA reconciles.
         uv = self.camera.project(jnp.asarray(pts_kf))       # [K, F, Dz]
+        # Observation gating: checkpoints restored from older runs (and any
+        # residual diverged lane) can carry insane local points whose
+        # projections overflow f32 in the Huber cost — gate them out like
+        # any BA outlier.
+        fe = self.cfg.frontend
+        uv_bound = 10.0 * float(max(fe.image_size))
+        uv_ok = jnp.all(jnp.isfinite(uv) & (jnp.abs(uv) < uv_bound), axis=-1)
+        pt_ok = jnp.all(jnp.isfinite(sp) & (jnp.abs(sp) < 1e6), axis=-1)
         cam_fixed = jnp.zeros((K,), bool).at[0].set(True)
         if K > 1:
             cam_fixed = cam_fixed.at[1].set(True)  # pin monocular scale gauge
@@ -851,8 +864,8 @@ class SLAMSystem:
             jnp.repeat(jnp.arange(K, dtype=jnp.int32), F),
             pid_c.reshape(-1),
             uv.reshape(K * F, -1),
-            pt_valid=sv,
-            obs_valid=(pid >= 0).reshape(-1),
+            pt_valid=sv & pt_ok,
+            obs_valid=((pid >= 0) & uv_ok & pt_ok[pid_c]).reshape(-1),
             cam_fixed=cam_fixed,
         )
 
@@ -868,6 +881,8 @@ class SLAMSystem:
         if prob is None:
             return None
         be = self.cfg.backend
+        if be.ba_outlier_px > 0:
+            prob = graph_mod.gate_outlier_obs(self.camera, prob, be.ba_outlier_px)
         if be.ba_max_obs_per_point > 0:
             prob = graph_mod.cap_obs_per_point(prob, be.ba_max_obs_per_point)
         d = self.cfg.dist
@@ -884,6 +899,7 @@ class SLAMSystem:
             res_prob, costs = dist_ba.optimize_ba_distributed(
                 self.camera, sp, mesh,
                 iters=iters or be.gn_iters,
+                lam=be.lm_damping_init,
                 pcg_iters=be.pcg_iters,
                 huber_delta=be.huber_delta,
             )
@@ -895,6 +911,7 @@ class SLAMSystem:
             res = ba_mod.optimize_ba(
                 self.camera, prob,
                 iters=iters or be.gn_iters,
+                lam=be.lm_damping_init,
                 pcg_iters=be.pcg_iters,
                 huber_delta=be.huber_delta,
                 solver=be.solver if be.solver in ("pcg", "dense") else "pcg",
