@@ -61,6 +61,36 @@ def make_pose_graph(max_nodes: int, max_edges: int) -> PoseGraph:
     )
 
 
+def shrink_to_active(g: PoseGraph, min_cap: int = 32) -> tuple[PoseGraph, int, int]:
+    """Host-side view of the graph at power-of-two capacities covering the
+    LIVE node/edge counts. The optimizer's dense normal system is
+    [K*6, K*6]; solving at the full preset capacity (e.g. 1024 nodes =
+    a 6144² Cholesky) on a 60-keyframe run wastes ~1000× the flops and
+    runs at EVERY accepted loop closure. Power-of-two rounding keeps the
+    jit-compile count O(log K) over a run. Returns (view, n_nodes,
+    n_edges); write results back with `unshrink` semantics: poses[:n] of
+    the view are the live ones. Call from the host (concrete cursors)."""
+    n_nodes = int(g.n_nodes)
+    n_edges = int(g.n_edges)
+    kc = min_cap
+    while kc < n_nodes:
+        kc *= 2
+    ec = min_cap
+    while ec < n_edges:
+        ec *= 2
+    kc = min(kc, g.max_nodes)
+    ec = min(ec, g.max_edges)
+    view = g.replace(
+        poses=g.poses[:kc],
+        node_valid=g.node_valid[:kc],
+        edge_ij=g.edge_ij[:ec],
+        edge_rel=g.edge_rel[:ec],
+        edge_info=g.edge_info[:ec],
+        edge_valid=g.edge_valid[:ec],
+    )
+    return view, n_nodes, n_edges
+
+
 def add_node(g: PoseGraph, pose: jax.Array) -> PoseGraph:
     """Masked append (no-op when full)."""
     k = g.n_nodes

@@ -445,10 +445,23 @@ class SLAMSystem:
         valid3, rel = round_(valid2, None)
         return rel, jnp.sum(valid3.astype(jnp.int32))
 
-    def _optimize_and_correct(self):
-        self.graph, _ = pg_mod.optimize_pose_graph(
-            self.graph, iters=self.cfg.backend.gn_iters
+    def _optimize_graph(self):
+        """Optimize the pose graph at its LIVE size: the dense normal
+        system is [K*6, K*6], so solving at the preset capacity (1024
+        nodes = a 6144-square Cholesky) on a 60-keyframe run wastes ~1000x
+        the flops — at EVERY accepted closure. Power-of-two view capacities
+        keep recompiles O(log K) over a run."""
+        view, _, _ = graph_mod.shrink_to_active(self.graph)
+        view, _ = pg_mod.optimize_pose_graph(
+            view, iters=self.cfg.backend.gn_iters
         )
+        kc = view.poses.shape[0]
+        return self.graph.replace(
+            poses=self.graph.poses.at[:kc].set(view.poses)
+        )
+
+    def _optimize_and_correct(self):
+        self.graph = self._optimize_graph()
         k = len(self.keyframes) - 1
         opt_pose = self.graph.poses[k]
         est_pose = jnp.asarray(self.keyframes[k].pose)
@@ -775,9 +788,7 @@ class SLAMSystem:
             return est
         self.flush_flags()
         if final_optimize and self.loop_closures:
-            self.graph, _ = pg_mod.optimize_pose_graph(
-                self.graph, iters=self.cfg.backend.gn_iters
-            )
+            self.graph = self._optimize_graph()
             poses_np = jax.device_get(self.graph.poses[: len(self.keyframes)])
             for i, kf in enumerate(self.keyframes):
                 kf.pose = poses_np[i]
