@@ -295,6 +295,7 @@ def optimize_ba(
     pcg_tol: float = 1e-6,
     huber_delta: float = 2.0,
     solver: str = "pcg",
+    step_clamp: tuple = (10.0, 50.0),
 ) -> BAResult:
     """Levenberg-damped GN with Schur elimination of the landmark blocks.
 
@@ -316,6 +317,7 @@ def optimize_ba(
         res = _optimize_buckets(
             camera, packed, iters=iters, lam=lam, pcg_iters=pcg_iters,
             pcg_tol=pcg_tol, huber_delta=huber_delta, solver=solver,
+            step_clamp=step_clamp,
         )
     else:
         res = _optimize_packed(
@@ -396,7 +398,10 @@ def _cost_buckets(camera, bk, cam_pose, points, huber_delta, onehots=None):
     return total
 
 
-@partial(jax.jit, static_argnames=("camera", "iters", "pcg_iters", "solver"))
+@partial(
+    jax.jit,
+    static_argnames=("camera", "iters", "pcg_iters", "solver", "step_clamp"),
+)
 def _optimize_buckets(
     camera,
     bk,
@@ -406,6 +411,7 @@ def _optimize_buckets(
     pcg_tol: float = 1e-6,
     huber_delta: float = 2.0,
     solver: str = "pcg",
+    step_clamp: tuple = (10.0, 50.0),
 ):
     C_ = bk.num_cams
     cam_range = jnp.arange(C_)
@@ -482,10 +488,15 @@ def _optimize_buckets(
         # return inf/NaN or astronomically long steps (observed on the
         # EuRoC multi-session problem — se3_exp(inf) poisons the candidate
         # and LM rejects every iteration forever). Non-finite components
-        # zero out; camera steps clamp to 1.0 in the SE(3) tangent.
+        # zero out. The clamp radii are config-exposed guards against
+        # pathological magnitudes only (advisor r4: the old hard-coded
+        # 1.0 m/rad radius truncated every legitimately large correction,
+        # stalling convergence on badly-initialized problems — LM's own
+        # accept test is the trust region for finite steps).
+        clamp_c, clamp_p = step_clamp
         dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
         dc = dc * jnp.minimum(
-            1.0, 1.0 / (jnp.linalg.norm(dc, axis=1, keepdims=True) + 1e-12)
+            1.0, clamp_c / (jnp.linalg.norm(dc, axis=1, keepdims=True) + 1e-12)
         )
 
         # back-substitute: δp = -C⁻¹(w_g + Eᵀ δc), one scatter-add per step
@@ -498,7 +509,8 @@ def _optimize_buckets(
             dp_full = dp_full.at[pt_idx].add(dp * row_valid[:, None])
         dp_full = jnp.where(jnp.isfinite(dp_full), dp_full, 0.0)
         dp_full = dp_full * jnp.minimum(
-            1.0, 5.0 / (jnp.linalg.norm(dp_full, axis=1, keepdims=True) + 1e-12)
+            1.0,
+            clamp_p / (jnp.linalg.norm(dp_full, axis=1, keepdims=True) + 1e-12),
         )
 
         new_cam = jax.vmap(

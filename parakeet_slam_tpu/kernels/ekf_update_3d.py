@@ -747,7 +747,12 @@ def measurement_update_3d(
 
     Zp = _round_up(max(Z, 128), 128)
     budget = 48 * 1024 * 1024
-    per_particle = (2 * 2 * n_planes * Lp + 1 * Lp + 6 * Zp) * 4
+    use_ext = ext_ll is not None
+    # +2 double-buffered [Pt, Zp] input rows when ext scores ride along
+    # (advisor r4: they were missing from the budget, undercounting VMEM)
+    per_particle = (
+        2 * 2 * n_planes * Lp + 1 * Lp + (6 + (4 if use_ext else 0)) * Zp
+    ) * 4
     cands = [d for d in range(1, P + 1) if P % d == 0 and (d % 8 == 0 or d == P)]
     fits = [d for d in cands if d * per_particle <= budget]
     Pt = max(fits) if fits else min(cands)
@@ -762,7 +767,6 @@ def measurement_update_3d(
         (Pt, w), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     plane = lambda: row(Lp)
-    use_ext = ext_ll is not None
     in_specs = (
         [smem(), smem(), smem(), smem()]
         + [row(12), row(1)]

@@ -131,11 +131,21 @@ class Keyframe:
     desc: np.ndarray          # [F, W] packed descriptors
     valid: np.ndarray         # [F]
     frame: int = 0            # source frame index (loop-closure recency gate)
-    # Emission-frame pose: the online estimate this keyframe was created at,
-    # kept consistent with any filter-state corrections applied while it is
-    # the latest keyframe. corrected_trajectory() maps each online estimate
-    # onto the optimized graph via pose . anchor^-1.
-    anchor: np.ndarray | None = None
+    # Emission-frame anchor SEGMENTS: list of (start_frame, pose[7]). Each
+    # entry says "online estimates emitted at frame >= start_frame (until
+    # the next entry) are relative to this emission pose of the keyframe".
+    # A loop-closure correction shifts the filter-estimate frame mid-run,
+    # so the keyframe gets a NEW anchor segment starting at the next
+    # emitted frame — rows already emitted keep the pre-correction anchor
+    # (advisor r4: a single mutable anchor left the up-to-lag rows between
+    # the flagged frame and the flush off by the correction).
+    # corrected_trajectory() maps row t as pose . anchor(t)^-1 . est_t.
+    anchors: list = field(default_factory=list)
+
+    @property
+    def anchor(self) -> np.ndarray:
+        """Latest emission anchor (current filter-estimate frame)."""
+        return self.anchors[-1][1]
 
 
 @dataclass
@@ -292,9 +302,14 @@ class SLAMSystem:
         )(means[sel])
         return pts_kf, desc[sel], valid[sel] & sane[sel]
 
-    def _make_keyframe(self, est_pose, snap=None, frame=None):
+    def _make_keyframe(self, est_pose, snap=None, frame=None, anchor_pose=None):
         """Materialize a keyframe from a map snapshot (the flagged frame's
-        in-step snapshot when given; otherwise the current state's)."""
+        in-step snapshot when given; otherwise the current state's).
+        `anchor_pose`, when given, is the RAW emission-frame estimate (it
+        differs from est_pose only when a correction was applied earlier in
+        the same flush window — est_pose then carries the correction for
+        graph consistency while already-emitted rows are still relative to
+        the raw estimate)."""
         est_pose = jnp.asarray(est_pose)
         if snap is None:
             snap = self._kf_snapshot(self.state, est_pose)
@@ -302,14 +317,19 @@ class SLAMSystem:
         pose_np, pts_np, desc_np, valid_np = jax.device_get(
             (est_pose, pts_kf, desc, valid)
         )
+        fr = self.frame_idx if frame is None else frame
+        anchor_np = (
+            pose_np.copy() if anchor_pose is None
+            else np.asarray(jax.device_get(anchor_pose), np.float32)
+        )
         kf = Keyframe(
             index=len(self.keyframes),
             pose=pose_np,
             points_kf=pts_np,
             desc=desc_np,
             valid=valid_np,
-            frame=self.frame_idx if frame is None else frame,
-            anchor=pose_np.copy(),
+            frame=fr,
+            anchors=[(fr, anchor_np)],
         )
         self.keyframes.append(kf)
         self._kf_store_append(kf)
@@ -420,6 +440,22 @@ class SLAMSystem:
             info=jnp.full((6,), float(n_in)),
         )
         self.loop_closures.append((old.index, kf.index))
+        # Innovation gate (backend.loop_min_innovation): the edge is kept
+        # either way, but the INLINE optimize+correct only pays off when
+        # the measurement disagrees with the current graph — i.e. there is
+        # drift to remove. ~Agreeing closures (short-horizon revisits) are
+        # deferred to the next real correction / the final optimize.
+        gate = self.cfg.backend.loop_min_innovation
+        if gate > 0.0:
+            pred = geometry.se3_between(
+                jnp.asarray(old.pose), jnp.asarray(kf.pose)
+            )
+            xi = np.asarray(
+                geometry.se3_log(geometry.se3_between(jnp.asarray(rel), pred))
+            )
+            inno = float(np.linalg.norm(xi[:3]) + 3.0 * np.linalg.norm(xi[3:]))
+            if inno < gate:
+                return False
         return True
 
     def _horn_consensus_impl(self, pa, pb, valid):
@@ -461,6 +497,10 @@ class SLAMSystem:
         )
 
     def _optimize_and_correct(self):
+        """Optimize the pose graph and left-apply the resulting correction
+        of the latest keyframe to the filter state. Returns the correction
+        [7] (numpy) so a flush loop can compose it into pending frames
+        captured before it (advisor r4 medium)."""
         self.graph = self._optimize_graph()
         k = len(self.keyframes) - 1
         opt_pose = self.graph.poses[k]
@@ -483,13 +523,21 @@ class SLAMSystem:
         )
         for i, kf in enumerate(self.keyframes):
             kf.pose = poses_np[i]
-        # keep the latest keyframe's emission anchor in the (newly shifted)
-        # filter-estimate frame — estimates emitted after this correction
-        # are relative to it
+        # Estimates emitted AFTER this correction are relative to the newly
+        # shifted filter frame: open a new anchor segment on the latest
+        # keyframe starting at the next frame. Rows already emitted (up to
+        # frame_idx, incl. the pre-flush lag window) keep the previous
+        # segment (advisor r4 low: they were off by corr^-1 before).
         last = self.keyframes[-1]
-        last.anchor = np.asarray(
+        shifted = np.asarray(
             geometry.se3_compose(jnp.asarray(corr_np), jnp.asarray(last.anchor))
         )
+        start = self.frame_idx + 1
+        if last.anchors[-1][0] >= start:
+            last.anchors[-1] = (last.anchors[-1][0], shifted)
+        else:
+            last.anchors.append((start, shifted))
+        return corr_np
 
     # -- fused per-frame device step --------------------------------------
     #
@@ -630,14 +678,44 @@ class SLAMSystem:
         flags = jax.device_get([f for _, _, f, _ in pend])
         if not any(flags):
             return
+        # Cumulative correction applied DURING this flush: pending tuples
+        # were captured pre-correction, so when an earlier keyframe in the
+        # window triggers a closure, later pending estimates must be
+        # composed with the correction before becoming graph nodes/edges
+        # (advisor r4 medium: they were off by the full correction). The
+        # snapshots need no fix-up — points_kf are keyframe-relative and a
+        # left-correction of both pose and map cancels there. The odometry
+        # edge is then consistent: prev.pose after a correction equals
+        # corr . prev_creation_pose for the latest keyframe, so
+        # se3_between(prev.pose, corr . est) == se3_between of the raw
+        # emission estimates.
+        pend_corr = None
         for (fi, est, _, snap), f in zip(pend, flags):
             if not f:
                 continue
-            kf = self._make_keyframe(est, snap, frame=fi)
+            est_raw = est
+            if pend_corr is not None:
+                est = geometry.se3_compose(jnp.asarray(pend_corr), jnp.asarray(est))
+            kf = self._make_keyframe(est, snap, frame=fi, anchor_pose=est_raw)
+            if pend_corr is not None:
+                # rows already emitted (<= frame_idx) are relative to the
+                # RAW estimate; rows after the flush live in the corrected
+                # frame -> second anchor segment
+                kf.anchors.append(
+                    (self.frame_idx + 1, np.asarray(jax.device_get(est), np.float32))
+                )
             self.last_kf_pose = kf.pose
             self._has_kf = True
             if self._try_loop_closure(kf):
-                self._optimize_and_correct()
+                corr = self._optimize_and_correct()
+                pend_corr = (
+                    corr if pend_corr is None
+                    else np.asarray(
+                        geometry.se3_compose(
+                            jnp.asarray(corr), jnp.asarray(pend_corr)
+                        )
+                    )
+                )
         ce = self.cfg.checkpoint_every
         if ce > 0 and self.cfg.checkpoint_dir and len(self.keyframes) % ce == 0:
             self.save_checkpoint(
@@ -700,7 +778,16 @@ class SLAMSystem:
             desc=np.stack([k.desc for k in kfs]) if kfs else np.zeros((0, 0, 1), np.uint32),
             valid=np.stack([k.valid for k in kfs]) if kfs else np.zeros((0, 0), bool),
             kf_frame=np.asarray([k.frame for k in kfs], np.int32),
-            anchor=np.stack([k.anchor for k in kfs]) if kfs else np.zeros((0, 7), np.float32),
+            anchor_kf=np.asarray(
+                [k.index for k in kfs for _ in k.anchors], np.int32
+            ),
+            anchor_start=np.asarray(
+                [s for k in kfs for s, _ in k.anchors], np.int64
+            ),
+            anchor_val=(
+                np.stack([a for k in kfs for _, a in k.anchors])
+                if kfs else np.zeros((0, 7), np.float32)
+            ),
             p_frame=np.asarray([p[0] for p in pend], np.int32),
             p_est=np.stack([p[1] for p in pend]) if pend else np.zeros((0, 7), np.float32),
             p_flag=np.asarray([p[2] for p in pend], bool),
@@ -757,14 +844,25 @@ class SLAMSystem:
             if "kf_frame" in data
             else np.arange(int(data["n"]), dtype=np.int32)
         )
-        anchors = data["anchor"] if "anchor" in data else data["pose"]
+        n_kf = int(data["n"])
+        if "anchor_kf" in data:
+            seg_lists: list[list] = [[] for _ in range(n_kf)]
+            for ki, st, av in zip(
+                data["anchor_kf"], data["anchor_start"], data["anchor_val"]
+            ):
+                seg_lists[int(ki)].append((int(st), av.copy()))
+        else:  # legacy snapshot (single mutable anchor per keyframe)
+            legacy = data["anchor"] if "anchor" in data else data["pose"]
+            seg_lists = [
+                [(int(kf_frame[i]), legacy[i].copy())] for i in range(n_kf)
+            ]
         self.keyframes = [
             Keyframe(
                 index=i, pose=data["pose"][i], points_kf=data["points"][i],
                 desc=data["desc"][i], valid=data["valid"][i],
-                frame=int(kf_frame[i]), anchor=anchors[i].copy(),
+                frame=int(kf_frame[i]), anchors=seg_lists[i],
             )
-            for i in range(int(data["n"]))
+            for i in range(n_kf)
         ]
         self._rebuild_kf_store()
 
@@ -794,16 +892,35 @@ class SLAMSystem:
                 kf.pose = poses_np[i]
         kf_frames = np.asarray([kf.frame for kf in self.keyframes])
         poses = jnp.asarray(np.stack([kf.pose for kf in self.keyframes]))
-        anchors = jnp.asarray(np.stack([kf.anchor for kf in self.keyframes]))
+        # Flatten the per-keyframe anchor SEGMENTS: row t in keyframe k's
+        # segment uses k's latest anchor whose start_frame <= t (estimates
+        # emitted before a mid-run correction are relative to the
+        # pre-correction emission pose; later ones to the shifted pose).
+        a_kf = []
+        a_start = []
+        a_val = []
+        for kf in self.keyframes:
+            for s, a in kf.anchors:
+                a_kf.append(kf.index)
+                a_start.append(s)
+                a_val.append(a)
+        a_kf = np.asarray(a_kf, np.int64)
+        a_start = np.asarray(a_start, np.int64)
         corr = jax.vmap(
-            lambda p, a: geometry.se3_compose(p, geometry.se3_inverse(a))
-        )(poses, anchors)
+            lambda k, a: geometry.se3_compose(
+                poses[k], geometry.se3_inverse(a)
+            )
+        )(jnp.asarray(a_kf), jnp.asarray(np.stack(a_val)))
         # frame index of row t is t+1; rows before the first keyframe keep
         # their online estimate
-        seg = np.searchsorted(kf_frames, np.arange(1, len(est) + 1), "right") - 1
+        frames = np.arange(1, len(est) + 1, dtype=np.int64)
+        seg = np.searchsorted(kf_frames, frames, "right") - 1
+        keys = a_kf * (np.int64(1) << 32) + a_start
+        rowkey = seg.astype(np.int64) * (np.int64(1) << 32) + frames
+        j = np.searchsorted(keys, rowkey, "right") - 1
         out = jax.vmap(
             lambda c, e: geometry.se3_compose(c, e)
-        )(corr[np.clip(seg, 0, None)], jnp.asarray(est))
+        )(corr[np.clip(j, 0, None)], jnp.asarray(est))
         return np.where((seg >= 0)[:, None], np.asarray(out), est)
 
     def build_ba_problem(
@@ -926,6 +1043,7 @@ class SLAMSystem:
                 pcg_iters=be.pcg_iters,
                 huber_delta=be.huber_delta,
                 solver=be.solver if be.solver in ("pcg", "dense") else "pcg",
+                step_clamp=(be.ba_step_clamp_cam, be.ba_step_clamp_pt),
             )
         for i, kf in enumerate(self.keyframes):
             kf.pose = np.asarray(res.problem.cam_pose[i])
