@@ -436,6 +436,7 @@ class FastSLAM:
                 cull_unseen=c.cull_unseen,
                 interpret=interpret,
                 update_weights=weight_matched,
+                freeze=c.freeze_min_count,
             )
         )
         state = state.replace(
@@ -483,6 +484,9 @@ class FastSLAM:
             c.use_pallas
             and scores is None
             and self.model.name == "range_bearing_2d"
+            # the 2-D kernel has no freeze support; fall through to the
+            # (semantics-identical) XLA path when anchors are frozen
+            and c.freeze_min_count == 0
         ):
             return self._measurement_update_pallas(state, obs, weight_matched)
         if self._pallas_3d_eligible():

@@ -380,6 +380,7 @@ def _kernel(
     cull_unseen: bool,
     update_weights: bool,
     ext_scores: bool = False,
+    freeze: int = 0,
     skip: tuple = (),
 ):
     W = desc_words
@@ -532,17 +533,23 @@ def _kernel(
             init_range_prior, init_range_sigma,
         )
 
+        lc_old = lc_o[:, sl]
+        # Anchor freeze (config.freeze_min_count): converged lanes keep
+        # their mean/cov (fixed anchors measuring accumulated pose drift);
+        # counts/descriptors still update.
+        upd_move = (
+            upd_m & (lc_old < float(freeze)) if freeze > 0 else upd_m
+        )
         m_f = [
-            jnp.where(upd_m, m_u[k], jnp.where(alloc_m, m_n[k], m_b[k]))
+            jnp.where(upd_move, m_u[k], jnp.where(alloc_m, m_n[k], m_b[k]))
             for k in range(3)
         ]
-        lc_old = lc_o[:, sl]
         lcf = jnp.where(upd_m, lc_old + 2.0, jnp.where(alloc_m, 1.0, lc_old))
         lvf = jnp.where(alloc_m, 1.0, lv_o[:, sl])
 
         for k in range(6):
             cov_o[k][:, sl] = jnp.where(
-                upd_m, c_u6[k],
+                upd_move, c_u6[k],
                 jnp.where(alloc_m, c_n6[k], cov_o[k][:, sl]),
             )
 
@@ -650,7 +657,8 @@ def _round_up(x, m):
     static_argnames=(
         "model", "desc_words", "par", "r_var", "desc_weight", "log_p0",
         "init_infl", "init_range_prior", "init_range_sigma", "max_range",
-        "cull", "cull_unseen", "interpret", "update_weights", "skip",
+        "cull", "cull_unseen", "interpret", "update_weights", "freeze",
+        "skip",
     ),
 )
 def measurement_update_3d(
@@ -672,6 +680,7 @@ def measurement_update_3d(
     cull_unseen: bool = False,
     interpret: bool = False,
     update_weights: bool = True,
+    freeze: int = 0,
     skip: tuple = (),
 ):
     """Pallas-fused frame measurement update for the 3-D camera models.
@@ -800,6 +809,7 @@ def measurement_update_3d(
         cull_unseen=cull_unseen,
         update_weights=update_weights,
         ext_scores=use_ext,
+        freeze=freeze,
         skip=skip,
     )
 
