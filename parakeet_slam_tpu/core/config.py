@@ -162,6 +162,17 @@ class BackendConfig:
     huber_delta: float = 2.0         # robust loss on reprojection residuals
     solver: str = "cholesky"         # cholesky | pcg for the reduced system
     loop_inlier_radius: float = 0.7  # Horn-fit consensus gate (meters)
+    # Edge information weights (1/sigma^2 per tangent dim, trans then rot).
+    # Round-4 had odometry edges at info=1 and closure edges at info=n_in
+    # (~50-200) — measured edge errors on TUM were the exact inverse:
+    # odometry edges median 0.056 m / 0.03 rad, Horn closure edges 0.23 m /
+    # 0.12 rad. The optimizer was trusting its WORST measurements 100x
+    # more than its best, which is why the optimized graph (0.36 m) lost
+    # to dead reckoning (0.27 m). Defaults below encode those measured
+    # sigmas; closures keep enough weight to fix global topology without
+    # overriding the locally-accurate odometry chain.
+    odom_edge_info: tuple[float, float] = (300.0, 1000.0)
+    loop_edge_info: tuple[float, float] = (20.0, 70.0)
     # Gross-outlier gate before BA: drop observations whose initial
     # reprojection residual exceeds this many pixels (0 = off). Wrong
     # associations / diverged landmarks produce 1e5-px-class residuals

@@ -190,6 +190,7 @@ class SLAMSystem:
         self._fused_obs = jax.jit(self._fused_obs_impl)
         self._kf_snapshot = jax.jit(self._kf_snapshot_impl)
         self._horn_consensus = jax.jit(self._horn_consensus_impl)
+        self._refine_rel = jax.jit(self._refine_rel_impl)
         # Device-side keyframe-motion reference ([7] pose; identity until the
         # first keyframe exists). The keyframe test AND the reference update
         # both run inside the fused step: when a frame trips the motion
@@ -219,6 +220,9 @@ class SLAMSystem:
         # against the whole history (no per-keyframe host loop).
         self._kf_desc_dev: jax.Array | None = None
         self._kf_valid_dev: jax.Array | None = None
+        # Dispatched-but-unresolved closure matches (kf_index, n_old,
+        # fwd [K, F], rev [K, F] device arrays) — drained at the next flush.
+        self._closure_pending: list[tuple] = []
 
     # -- frontend ---------------------------------------------------------
 
@@ -339,7 +343,11 @@ class SLAMSystem:
             rel = geometry.se3_between(
                 jnp.asarray(prev.pose), jnp.asarray(est_pose)
             )
-            self.graph = graph_mod.add_edge(self.graph, kf.index - 1, kf.index, rel)
+            it, ir = self.cfg.backend.odom_edge_info
+            self.graph = graph_mod.add_edge(
+                self.graph, kf.index - 1, kf.index, rel,
+                info=jnp.asarray([it, it, it, ir, ir, ir], jnp.float32),
+            )
         return kf
 
     def _kf_store_append(self, kf: Keyframe):
@@ -383,23 +391,27 @@ class SLAMSystem:
         self._kf_valid_dev = jnp.asarray(val)
 
     def _try_loop_closure(self, kf: Keyframe, min_matches: int = 12):
-        """Match this keyframe's descriptors against ALL older keyframes
-        (skipping recent ones by FRAME gap, so the recency gate does not
-        depend on keyframe cadence) in one vmapped matcher dispatch over
-        the stacked store; add a graph edge on success.
+        """Synchronous convenience wrapper (tests / one-off callers):
+        dispatch this keyframe's closure match and resolve it immediately.
+        Returns True when an accepted closure wants an inline optimize."""
+        self._dispatch_loop_closure(kf)
+        return self._resolve_closures(min_matches)
 
-        Correspondences are mutually cross-checked (forward+reverse NN must
-        agree — the one-directional ratio test alone lets many query rows
-        collapse onto one train row and feeds Horn garbage), then the Horn
-        fit is iterated on inliers and the closure rejected unless a tight
-        consensus remains. Per-keyframe match semantics are identical to the
-        round-1 serial loop; the host does only the final bincount/argmax."""
+    def _dispatch_loop_closure(self, kf: Keyframe):
+        """Launch the batched descriptor match of this keyframe against ALL
+        eligible older keyframes (one vmapped matcher dispatch over the
+        stacked store) WITHOUT blocking on the result — the [K, F] match
+        tables stay on device until the next flush drains them
+        (SURVEY.md §2b frontend/filter/backend pipelining: closure
+        verdicts ride one flag window behind keyframe creation, so the
+        ~25 ms device->host round-trip per keyframe overlaps the frame
+        loop instead of stalling it)."""
         # keyframes are created in frame order, so frame-gap eligibility is
         # a prefix of the store
         gap = self.cfg.backend.loop_min_frame_gap
         n_old = sum(1 for k in self.keyframes[: kf.index] if k.frame <= kf.frame - gap)
         if n_old == 0:
-            return False
+            return
         use_pallas = jax.devices()[0].platform == "tpu"
         eligible = jnp.arange(self._kf_desc_dev.shape[0]) < n_old
         fwd, rev = _batched_kf_match(
@@ -407,56 +419,161 @@ class SLAMSystem:
             self._kf_desc_dev, self._kf_valid_dev & eligible[:, None],
             ratio=self.cfg.frontend.match_ratio, use_pallas=use_pallas,
         )
-        fwd, rev = jax.device_get((fwd, rev))  # one round-trip
-        F = fwd.shape[1]
-        rows = np.arange(F)[None, :]
-        mutual = (fwd >= 0) & (
-            np.take_along_axis(rev, np.clip(fwd, 0, F - 1), axis=1) == rows
-        )
-        counts = mutual.sum(axis=1)
-        counts[n_old:] = 0
-        k_best = int(counts.argmax())
-        if counts[k_best] < min_matches:
+        self._closure_pending.append((kf.index, n_old, fwd, rev))
+
+    def _resolve_closures(self, min_matches: int = 12) -> bool:
+        """Drain the dispatched closure matches (ONE batched device->host
+        transfer), cross-check correspondences, Horn-fit the best candidate
+        per keyframe, and add accepted edges. Returns True when at least
+        one accepted closure passes the innovation gate — the caller then
+        runs ONE optimize+correct for the whole batch (round-4: one
+        pose-graph solve per closure at 211 closures halved throughput).
+
+        Correspondences are mutually cross-checked (forward+reverse NN must
+        agree — the one-directional ratio test alone lets many query rows
+        collapse onto one train row and feeds Horn garbage), then the Horn
+        fit is iterated on inliers and the closure rejected unless a tight
+        consensus remains."""
+        pend, self._closure_pending = self._closure_pending, []
+        if not pend:
             return False
-        old = self.keyframes[k_best]
-        # fixed-capacity correspondence table so the jitted Horn consensus
-        # compiles once (padding rows start invalid)
-        pa = np.zeros((F, 3), np.float32)
-        pb = np.zeros((F, 3), np.float32)
-        sel = np.where(mutual[k_best])[0]
-        pa[: len(sel)] = kf.points_kf[sel]                  # in kf frame
-        pb[: len(sel)] = old.points_kf[fwd[k_best, sel]]    # in old-kf frame
-        valid0 = np.arange(F) < len(sel)
-        # T such that p_old ≈ T(p_kf)  => Z_{old,kf} = T_old⁻¹ T_kf measured
-        rel, n_in = jax.device_get(
-            self._horn_consensus(
-                jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(valid0)
+        fetched = jax.device_get([(f, r) for _, _, f, r in pend])
+        need_opt = False
+        for (kidx, n_old, _, _), (fwd, rev) in zip(pend, fetched):
+            kf = self.keyframes[kidx]
+            F = fwd.shape[1]
+            rows = np.arange(F)[None, :]
+            mutual = (fwd >= 0) & (
+                np.take_along_axis(rev, np.clip(fwd, 0, F - 1), axis=1) == rows
             )
-        )
-        if int(n_in) < max(min_matches, 4):
-            return False
-        self.graph = graph_mod.add_edge(
-            self.graph, old.index, kf.index, jnp.asarray(rel),
-            info=jnp.full((6,), float(n_in)),
-        )
-        self.loop_closures.append((old.index, kf.index))
-        # Innovation gate (backend.loop_min_innovation): the edge is kept
-        # either way, but the INLINE optimize+correct only pays off when
-        # the measurement disagrees with the current graph — i.e. there is
-        # drift to remove. ~Agreeing closures (short-horizon revisits) are
-        # deferred to the next real correction / the final optimize.
-        gate = self.cfg.backend.loop_min_innovation
-        if gate > 0.0:
-            pred = geometry.se3_between(
-                jnp.asarray(old.pose), jnp.asarray(kf.pose)
+            counts = mutual.sum(axis=1)
+            counts[n_old:] = 0
+            # up to 2 distinct closure targets per keyframe: independent
+            # edges to different map regions average their errors in the
+            # pose-graph LM instead of riding one (possibly biased) fit
+            for k_best in np.argsort(counts)[::-1][:2]:
+                k_best = int(k_best)
+                if counts[k_best] < min_matches:
+                    break
+                old = self.keyframes[k_best]
+                # fixed-capacity correspondence table so the jitted Horn
+                # consensus compiles once (padding rows start invalid)
+                pa = np.zeros((F, 3), np.float32)
+                pb = np.zeros((F, 3), np.float32)
+                sel = np.where(mutual[k_best])[0]
+                pa[: len(sel)] = kf.points_kf[sel]               # kf frame
+                pb[: len(sel)] = old.points_kf[fwd[k_best, sel]]  # old frame
+                valid0 = np.arange(F) < len(sel)
+                # T such that p_old ≈ T(p_kf) => Z_{old,kf} = T_old⁻¹ T_kf
+                pa_d, pb_d, v_d = (
+                    jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(valid0)
+                )
+                rel_d, n_in = self._horn_consensus(pa_d, pb_d, v_d)
+                if int(jax.device_get(n_in)) < max(min_matches, 4):
+                    continue
+                # reprojection refinement: pixel-space targets are free of
+                # the monocular depth error that dominates the 3D-3D fit.
+                # (A Schur-reduced two-view refine with free kf-side depths
+                # was tried and measured WORSE — short-baseline closures
+                # leave mono two-view geometry near-degenerate, so the
+                # fixed-structure symmetric form is the regularized one.)
+                rel = np.asarray(
+                    jax.device_get(self._refine_rel(rel_d, pa_d, pb_d, v_d))
+                )
+                it, ir = self.cfg.backend.loop_edge_info
+                self.graph = graph_mod.add_edge(
+                    self.graph, old.index, kf.index, jnp.asarray(rel),
+                    info=jnp.asarray([it, it, it, ir, ir, ir], jnp.float32),
+                )
+                self.loop_closures.append((old.index, kf.index))
+                # Innovation gate (backend.loop_min_innovation): the edge
+                # is kept either way, but the INLINE optimize+correct only
+                # pays off when the measurement disagrees with the current
+                # graph — i.e. there is drift to remove. ~Agreeing
+                # closures (short-horizon revisits) are deferred to the
+                # final optimize.
+                gate = self.cfg.backend.loop_min_innovation
+                if gate > 0.0:
+                    pred = geometry.se3_between(
+                        jnp.asarray(old.pose), jnp.asarray(kf.pose)
+                    )
+                    xi = np.asarray(
+                        geometry.se3_log(
+                            geometry.se3_between(jnp.asarray(rel), pred)
+                        )
+                    )
+                    inno = float(
+                        np.linalg.norm(xi[:3]) + 3.0 * np.linalg.norm(xi[3:])
+                    )
+                    if inno < gate:
+                        continue
+                need_opt = True
+        return need_opt
+
+    def _refine_rel_impl(self, rel0, pa, pb, valid):
+        """Reprojection-refine a Horn closure edge: Gauss-Newton on the
+        SE(3) tangent of rel (Z_{old,kf}: maps kf-frame points into the
+        old keyframe's frame), minimizing SYMMETRIC pixel reprojection
+        error — project(rel · p_kf) vs project(p_old) in the old camera
+        and project(rel⁻¹ · p_old) vs project(p_kf) in the new one. The
+        projection of a cloud's OWN points reproduces the original pixel
+        measurements, so each direction's target is (nearly) depth-error
+        free — unlike the 3D-3D Horn fit, whose residuals are dominated by
+        monocular depth error along the rays (measured round-5: Horn edges
+        at 0.23 m / 0.12 rad median vs 0.056 m odometry edges). Huber in
+        pixels; falls back to the Horn estimate when the refined cost is
+        not better."""
+        cam = self.camera
+        delta = 3.0  # px Huber
+
+        def cost_res(rel):
+            pao = jax.vmap(lambda q: geometry.se3_apply(rel, q))(pa)
+            pbk = jax.vmap(
+                lambda q: geometry.se3_apply_inverse(rel, q)
+            )(pb)
+            r1 = cam.project(pao) - cam.project(pb)
+            r2 = cam.project(pbk) - cam.project(pa)
+            r = jnp.concatenate([r1, r2], axis=0)           # [2F, Dz]
+            vm = jnp.concatenate([valid, valid], axis=0)
+            n = jnp.linalg.norm(r, axis=-1)
+            w = jnp.where(
+                vm, jnp.minimum(1.0, delta / jnp.maximum(n, 1e-6)), 0.0
             )
-            xi = np.asarray(
-                geometry.se3_log(geometry.se3_between(jnp.asarray(rel), pred))
+            c = jnp.sum(
+                jnp.where(
+                    n <= delta, 0.5 * n * n, delta * (n - 0.5 * delta)
+                ) * vm
             )
-            inno = float(np.linalg.norm(xi[:3]) + 3.0 * np.linalg.norm(xi[3:]))
-            if inno < gate:
-                return False
-        return True
+            return c, r, w
+
+        def gn_step(rel, _):
+            def res_of(xi):
+                _, r, _ = cost_res(
+                    geometry.se3_compose(rel, geometry.se3_exp(xi))
+                )
+                return r.reshape(-1)
+
+            zero = jnp.zeros((6,), pa.dtype)
+            _, r0, w = cost_res(rel)
+            J = jax.jacfwd(res_of)(zero)                    # [2F*Dz, 6]
+            Dz = r0.shape[-1]
+            wf = jnp.repeat(w, Dz)
+            A = J.T @ (wf[:, None] * J) + 1e-4 * jnp.eye(6, dtype=pa.dtype)
+            b = J.T @ (wf * r0.reshape(-1))
+            xi = -jnp.linalg.solve(A, b)
+            xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
+            cand = geometry.se3_compose(rel, geometry.se3_exp(xi))
+            c_old, _, _ = cost_res(rel)
+            c_new, _, _ = cost_res(cand)
+            return jnp.where(
+                jnp.isfinite(c_new) & (c_new < c_old), cand, rel
+            ), None
+
+        with jax.default_matmul_precision("highest"):
+            rel, _ = jax.lax.scan(gn_step, rel0, None, length=8)
+            c0, _, _ = cost_res(rel0)
+            c1, _, _ = cost_res(rel)
+        return jnp.where(jnp.isfinite(c1) & (c1 <= c0), rel, rel0)
 
     def _horn_consensus_impl(self, pa, pb, valid):
         """Three rounds of Horn 3D-3D fit + inlier re-selection (RANSAC-lite
@@ -673,23 +790,24 @@ class SLAMSystem:
         device-latched reference (its predecessor flagged frame), so the
         flag set is exact — nothing here depends on flush timing."""
         pend, self._flag_pending = self._flag_pending, []
-        if not pend:
-            return
-        flags = jax.device_get([f for _, _, f, _ in pend])
+        flags = jax.device_get([f for _, _, f, _ in pend]) if pend else []
+        # Resolve closure matches dispatched in the PREVIOUS window first
+        # (pipelined: the match ran on device while frames kept flowing).
+        # A resulting correction shifts the filter-estimate frame BEFORE
+        # this window's keyframes are materialized, so it must compose
+        # into their pending estimates below (advisor r4 medium: pending
+        # tuples were captured pre-correction and ended up off by the
+        # full correction). The snapshots need no fix-up — points_kf are
+        # keyframe-relative and a left-correction of both pose and map
+        # cancels there. The odometry edge is then consistent:
+        # prev.pose after a correction equals corr . prev_creation_pose
+        # for the latest keyframe, so se3_between(prev.pose, corr . est)
+        # == se3_between of the raw emission estimates.
+        pend_corr = None
+        if self._resolve_closures():
+            pend_corr = self._optimize_and_correct()
         if not any(flags):
             return
-        # Cumulative correction applied DURING this flush: pending tuples
-        # were captured pre-correction, so when an earlier keyframe in the
-        # window triggers a closure, later pending estimates must be
-        # composed with the correction before becoming graph nodes/edges
-        # (advisor r4 medium: they were off by the full correction). The
-        # snapshots need no fix-up — points_kf are keyframe-relative and a
-        # left-correction of both pose and map cancels there. The odometry
-        # edge is then consistent: prev.pose after a correction equals
-        # corr . prev_creation_pose for the latest keyframe, so
-        # se3_between(prev.pose, corr . est) == se3_between of the raw
-        # emission estimates.
-        pend_corr = None
         for (fi, est, _, snap), f in zip(pend, flags):
             if not f:
                 continue
@@ -706,16 +824,7 @@ class SLAMSystem:
                 )
             self.last_kf_pose = kf.pose
             self._has_kf = True
-            if self._try_loop_closure(kf):
-                corr = self._optimize_and_correct()
-                pend_corr = (
-                    corr if pend_corr is None
-                    else np.asarray(
-                        geometry.se3_compose(
-                            jnp.asarray(corr), jnp.asarray(pend_corr)
-                        )
-                    )
-                )
+            self._dispatch_loop_closure(kf)
         ce = self.cfg.checkpoint_every
         if ce > 0 and self.cfg.checkpoint_dir and len(self.keyframes) % ce == 0:
             self.save_checkpoint(
@@ -759,6 +868,25 @@ class SLAMSystem:
         )
         kfs = self.keyframes
         pend = jax.device_get(self._flag_pending)
+        # pending (dispatched, unresolved) closure matches: fetched to host
+        # and persisted so a resumed run resolves them at the same flush
+        # an uninterrupted run would have (pad K-axis to the largest store
+        # capacity among entries; fwd=-1 pad rows can never match)
+        cp = jax.device_get(self._closure_pending)
+        if cp:
+            Kmax = max(f.shape[0] for _, _, f, _ in cp)
+            def _padk(a):
+                return np.pad(a, ((0, Kmax - a.shape[0]), (0, 0)),
+                              constant_values=-1)
+            cp_kidx = np.asarray([c[0] for c in cp], np.int32)
+            cp_nold = np.asarray([c[1] for c in cp], np.int32)
+            cp_fwd = np.stack([_padk(np.asarray(c[2])) for c in cp])
+            cp_rev = np.stack([_padk(np.asarray(c[3])) for c in cp])
+        else:
+            cp_kidx = np.zeros((0,), np.int32)
+            cp_nold = np.zeros((0,), np.int32)
+            cp_fwd = np.zeros((0, 0, 0), np.int32)
+            cp_rev = np.zeros((0, 0, 0), np.int32)
         F = self.cfg.frontend.max_features
         W = self.cfg.filter.desc_words
         np.savez(
@@ -794,6 +922,7 @@ class SLAMSystem:
             p_pts=np.stack([p[3][0] for p in pend]) if pend else np.zeros((0, F, 3), np.float32),
             p_desc=np.stack([p[3][1] for p in pend]) if pend else np.zeros((0, F, max(W, 1)), np.uint32),
             p_valid=np.stack([p[3][2] for p in pend]) if pend else np.zeros((0, F), bool),
+            cp_kidx=cp_kidx, cp_nold=cp_nold, cp_fwd=cp_fwd, cp_rev=cp_rev,
         )
 
     def load_checkpoint(self, path_prefix: str):
@@ -839,6 +968,17 @@ class SLAMSystem:
         else:
             self._flag_pending = []
         self.loop_closures = [tuple(r) for r in data["loop_closures"]]
+        self._closure_pending = (
+            [
+                (
+                    int(data["cp_kidx"][i]), int(data["cp_nold"][i]),
+                    data["cp_fwd"][i], data["cp_rev"][i],
+                )
+                for i in range(len(data["cp_kidx"]))
+            ]
+            if "cp_kidx" in data
+            else []
+        )
         kf_frame = (
             data["kf_frame"]
             if "kf_frame" in data
@@ -885,6 +1025,9 @@ class SLAMSystem:
         if not self.keyframes:
             return est
         self.flush_flags()
+        # drain closure matches dispatched by the final window
+        if self._resolve_closures() and not final_optimize:
+            self._optimize_and_correct()
         if final_optimize and self.loop_closures:
             self.graph = self._optimize_graph()
             poses_np = jax.device_get(self.graph.poses[: len(self.keyframes)])
