@@ -173,6 +173,10 @@ class BackendConfig:
     # overriding the locally-accurate odometry chain.
     odom_edge_info: tuple[float, float] = (300.0, 1000.0)
     loop_edge_info: tuple[float, float] = (20.0, 70.0)
+    # Depth-relaxed closure refinement: >0 frees the kf-side point depths
+    # during the reprojection refine with a relative Gaussian prior of
+    # this sigma (fraction of the Horn depth). 0 = fixed structure.
+    loop_refine_depth_sigma: float = 0.0
     # Gross-outlier gate before BA: drop observations whose initial
     # reprojection residual exceeds this many pixels (0 = off). Wrong
     # associations / diverged landmarks produce 1e5-px-class residuals
