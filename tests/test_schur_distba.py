@@ -55,3 +55,34 @@ class TestDistributedBA:
             np.asarray(prob_d.cam_pose[:, :3] - gt_poses[:, :3]), axis=1
         )
         assert err.max() < 0.05, err.max()
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+class TestDistributedBA2D:
+    def test_2d_sharded_matches_single_device(self):
+        """Keyframe axis over dcn x point axis over ici (SURVEY.md §2b
+        trajectory/keyframe sharding): the (2, 4) mesh result must agree
+        with the single-device solver."""
+        from tests.test_backend import _make_ba_problem
+
+        cam, prob, gt_poses, _ = _make_ba_problem(jax.random.PRNGKey(11))
+        res = ba_mod.optimize_ba(
+            cam, prob, iters=6, pcg_iters=60, solver="pcg", huber_delta=50.0
+        )
+        mesh = make_mesh(n_devices=8, map_axis=2)  # (dcn=2, ici=4)
+        sp = dist_ba.shard_problem_2d(prob, 2, 4)
+        prob_d, costs = dist_ba.optimize_ba_distributed_2d(
+            cam, sp, mesh, iters=6, pcg_iters=60, huber_delta=50.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(prob_d.cam_pose[:, :3]),
+            np.asarray(res.problem.cam_pose[:, :3]),
+            atol=5e-3,
+        )
+        err = np.linalg.norm(
+            np.asarray(prob_d.cam_pose[:, :3] - gt_poses[:, :3]), axis=1
+        )
+        assert err.max() < 0.05, err.max()
+        # costs strictly descend overall
+        c = np.asarray(costs)
+        assert c[-1] < c[0]
