@@ -173,6 +173,12 @@ class BackendConfig:
     # overriding the locally-accurate odometry chain.
     odom_edge_info: tuple[float, float] = (300.0, 1000.0)
     loop_edge_info: tuple[float, float] = (20.0, 70.0)
+    # Fuse the pose graph's odometry/closure edges into BA as camera-
+    # camera residual blocks (graph-constrained BA). Pure-reprojection BA
+    # optimizes consistency with per-keyframe landmark measurements that
+    # embed the filter's drifted relative geometry — it descends cost
+    # while UNDOING loop-closure corrections (r5 EuRoC: 0.575 -> 0.679 m).
+    ba_fuse_pose_graph: bool = True
     # Depth-relaxed closure refinement: >0 frees the kf-side point depths
     # during the reprojection refine with a relative Gaussian prior of
     # this sigma (fraction of the Horn depth). 0 = fixed structure.

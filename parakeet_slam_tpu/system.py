@@ -1294,8 +1294,10 @@ class SLAMSystem:
         uv_ok = jnp.all(jnp.isfinite(uv) & (jnp.abs(uv) < uv_bound), axis=-1)
         pt_ok = jnp.all(jnp.isfinite(sp) & (jnp.abs(sp) < 1e6), axis=-1)
         cam_fixed = jnp.zeros((K,), bool).at[0].set(True)
-        if K > 1:
-            cam_fixed = cam_fixed.at[1].set(True)  # pin monocular scale gauge
+        if K > 1 and not self.cfg.backend.ba_fuse_pose_graph:
+            # pin monocular scale gauge; with fused pose-graph edges the
+            # odometry chain carries metric scale, so only cam 0 is pinned
+            cam_fixed = cam_fixed.at[1].set(True)
         return graph_mod.make_ba_problem(
             poses_d, sp,
             jnp.repeat(jnp.arange(K, dtype=jnp.int32), F),
@@ -1304,6 +1306,18 @@ class SLAMSystem:
             pt_valid=sv & pt_ok,
             obs_valid=((pid >= 0) & uv_ok & pt_ok[pid_c]).reshape(-1),
             cam_fixed=cam_fixed,
+        )
+
+    def graph_pose_edges(self):
+        """The pose graph's live edges as BA fusion terms
+        (edge_ij, edge_rel, edge_info, edge_valid) — None when empty."""
+        ne = int(jax.device_get(self.graph.n_edges))
+        if ne == 0:
+            return None
+        g = self.graph
+        return (
+            g.edge_ij[:ne], g.edge_rel[:ne], g.edge_info[:ne],
+            g.edge_valid[:ne],
         )
 
     def run_ba(self, iters: int | None = None, distributed: bool | None = None):
@@ -1353,6 +1367,11 @@ class SLAMSystem:
                 huber_delta=be.huber_delta,
                 solver=be.solver if be.solver in ("pcg", "dense") else "pcg",
                 step_clamp=(be.ba_step_clamp_cam, be.ba_step_clamp_pt),
+                pose_edges=(
+                    self.graph_pose_edges()
+                    if be.ba_fuse_pose_graph
+                    else None
+                ),
             )
         for i, kf in enumerate(self.keyframes):
             kf.pose = np.asarray(res.problem.cam_pose[i])

@@ -209,3 +209,61 @@ class TestRelativePose:
         valid = jnp.ones((20,), bool).at[0].set(False)
         T_est = graph_mod.estimate_relative_pose_3d3d(pa, pb, valid)
         np.testing.assert_allclose(np.asarray(T_est[:3]), np.asarray(T[:3]), atol=1e-4)
+
+
+class TestGraphConstrainedBA:
+    def test_pose_edges_fused_and_anchor_geometry(self):
+        """Graph-constrained BA (backend/ba.py pose_edges): relative-pose
+        edges between consecutive cameras enter the reduced system; with
+        gt-consistent edges the solver must still converge to the gt ring
+        AND descend the fused cost."""
+        cam, prob, gt_poses, _ = _make_ba_problem(jax.random.PRNGKey(5))
+        C = prob.num_cams
+        ij = jnp.asarray(
+            np.stack([np.arange(C - 1), np.arange(1, C)], 1), jnp.int32
+        )
+        rel = jax.vmap(
+            lambda a, b: g.se3_between(a, b)
+        )(gt_poses[:-1], gt_poses[1:])
+        info = jnp.full((C - 1, 6), 100.0)
+        valid = jnp.ones((C - 1,), bool)
+        res = ba_mod.optimize_ba(
+            cam, prob, iters=10, pcg_iters=60, solver="pcg",
+            pose_edges=(ij, rel, info, valid),
+        )
+        c = np.asarray(res.costs)
+        assert c[-1] < c[0]
+        err = np.linalg.norm(
+            np.asarray(res.problem.cam_pose[:, :3] - gt_poses[:, :3]), axis=1
+        )
+        assert err.max() < 0.05, err.max()
+
+    def test_pose_edges_pin_gauge_against_bad_observations(self):
+        """With CORRUPTED reprojection targets for one camera, strong pose
+        edges must keep that camera near its odometry-consistent pose
+        (pure-reprojection BA would follow the corrupted measurements)."""
+        cam, prob, gt_poses, _ = _make_ba_problem(jax.random.PRNGKey(6))
+        C = prob.num_cams
+        # corrupt all observations of camera 3 by a constant 40 px shift
+        oc = np.asarray(prob.obs_cam)
+        uv = np.array(prob.obs_uv)
+        uv[oc == 3] += 40.0
+        prob_bad = prob.replace(obs_uv=jnp.asarray(uv))
+        ij = jnp.asarray(
+            np.stack([np.arange(C - 1), np.arange(1, C)], 1), jnp.int32
+        )
+        rel = jax.vmap(
+            lambda a, b: g.se3_between(a, b)
+        )(gt_poses[:-1], gt_poses[1:])
+        info = jnp.full((C - 1, 6), 1e4)
+        valid = jnp.ones((C - 1,), bool)
+        res = ba_mod.optimize_ba(
+            cam, prob_bad, iters=10, pcg_iters=60, solver="pcg",
+            pose_edges=(ij, rel, info, valid),
+        )
+        err3 = float(
+            np.linalg.norm(
+                np.asarray(res.problem.cam_pose[3, :3] - gt_poses[3, :3])
+            )
+        )
+        assert err3 < 0.1, err3
