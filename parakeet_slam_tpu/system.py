@@ -215,6 +215,24 @@ class SLAMSystem:
         self._horn_consensus = jax.jit(self._horn_consensus_impl)
         self._refine_rel = jax.jit(self._refine_rel_impl)
         self._refine_rel_depth = jax.jit(self._refine_rel_depth_impl)
+
+        def _verify_batch(pa, pb, valid):
+            def one(pa1, pb1, v1):
+                rel, n_in = self._horn_consensus_impl(pa1, pb1, v1)
+                refine = (
+                    self._refine_rel_depth_impl
+                    if self.cfg.backend.loop_refine_depth_sigma > 0.0
+                    else self._refine_rel_impl
+                )
+                return refine(rel, pa1, pb1, v1), n_in
+
+            return jax.vmap(one)(pa, pb, valid)
+
+        # Batched closure verification: ALL candidates of a flush window
+        # verify in ONE device dispatch (vmapped Horn consensus + refine) —
+        # the per-candidate dispatch+fetch pattern cost ~2 round-trips per
+        # keyframe (EuRoC: 279 keyframes x ~25 ms = the 2.2 fps ceiling).
+        self._verify_candidates = jax.jit(_verify_batch)
         # Device-side keyframe-motion reference ([7] pose; identity until the
         # first keyframe exists). The keyframe test AND the reference update
         # both run inside the fused step: when a frame trips the motion
@@ -464,7 +482,8 @@ class SLAMSystem:
         if not pend:
             return False
         fetched = jax.device_get([(f, r) for _, _, f, r in pend])
-        need_opt = False
+        # -- phase 1 (host): candidate selection + correspondence tables --
+        cand_rows = []  # (kf_index, old_index, pa, pb, valid)
         for (kidx, n_old, _, _), (fwd, rev) in zip(pend, fetched):
             kf = self.keyframes[kidx]
             F = fwd.shape[1]
@@ -507,63 +526,76 @@ class SLAMSystem:
                 if counts[k_best] < thr:
                     continue
                 old = self.keyframes[k_best]
-                # fixed-capacity correspondence table so the jitted Horn
-                # consensus compiles once (padding rows start invalid)
+                # fixed-capacity correspondence table so the jitted
+                # verification compiles once (padding rows start invalid)
                 pa = np.zeros((F, 3), np.float32)
                 pb = np.zeros((F, 3), np.float32)
                 sel = np.where(mutual[k_best])[0]
                 pa[: len(sel)] = kf.points_kf[sel]               # kf frame
                 pb[: len(sel)] = old.points_kf[fwd[k_best, sel]]  # old frame
-                valid0 = np.arange(F) < len(sel)
-                # T such that p_old ≈ T(p_kf) => Z_{old,kf} = T_old⁻¹ T_kf
-                pa_d, pb_d, v_d = (
-                    jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(valid0)
+                cand_rows.append(
+                    (kidx, k_best, pa, pb, np.arange(F) < len(sel))
                 )
-                rel_d, n_in = self._horn_consensus(pa_d, pb_d, v_d)
-                if int(jax.device_get(n_in)) < max(min_matches, 4):
+        if not cand_rows:
+            return False
+        # -- phase 2 (device, ONE dispatch): vmapped Horn + reprojection
+        # refine over the padded candidate batch. T: p_old ≈ T(p_kf) =>
+        # Z_{old,kf} = T_old⁻¹ T_kf. The refinement's pixel-space targets
+        # are free of the monocular depth error that dominates the 3D-3D
+        # fit. (A Schur-reduced two-view refine with FREE kf-side depths
+        # was tried and measured WORSE — short-baseline closures leave
+        # mono two-view geometry near-degenerate, so the fixed-structure
+        # symmetric form is the regularized one.)
+        Nc = 1
+        while Nc < len(cand_rows):
+            Nc *= 2
+        F = cand_rows[0][2].shape[0]
+        pa_b = np.zeros((Nc, F, 3), np.float32)
+        pb_b = np.zeros((Nc, F, 3), np.float32)
+        v_b = np.zeros((Nc, F), bool)
+        for i, (_, _, pa, pb, v) in enumerate(cand_rows):
+            pa_b[i], pb_b[i], v_b[i] = pa, pb, v
+        rels, n_ins = jax.device_get(
+            self._verify_candidates(
+                jnp.asarray(pa_b), jnp.asarray(pb_b), jnp.asarray(v_b)
+            )
+        )
+        # -- phase 3 (host): accept edges, innovation-gate the optimize --
+        need_opt = False
+        for (kidx, oldidx, _, _, _), rel, n_in in zip(
+            cand_rows, rels, n_ins
+        ):
+            if int(n_in) < max(min_matches, 4):
+                continue
+            kf = self.keyframes[kidx]
+            old = self.keyframes[oldidx]
+            it, ir = self.cfg.backend.loop_edge_info
+            self.graph = graph_mod.add_edge(
+                self.graph, old.index, kf.index, jnp.asarray(rel),
+                info=jnp.asarray([it, it, it, ir, ir, ir], jnp.float32),
+            )
+            self.loop_closures.append((old.index, kf.index))
+            # Innovation gate (backend.loop_min_innovation): the edge is
+            # kept either way, but the INLINE optimize+correct only pays
+            # off when the measurement disagrees with the current graph —
+            # i.e. there is drift to remove. ~Agreeing closures
+            # (short-horizon revisits) are deferred to the final optimize.
+            gate = self.cfg.backend.loop_min_innovation
+            if gate > 0.0:
+                pred = geometry.se3_between(
+                    jnp.asarray(old.pose), jnp.asarray(kf.pose)
+                )
+                xi = np.asarray(
+                    geometry.se3_log(
+                        geometry.se3_between(jnp.asarray(rel), pred)
+                    )
+                )
+                inno = float(
+                    np.linalg.norm(xi[:3]) + 3.0 * np.linalg.norm(xi[3:])
+                )
+                if inno < gate:
                     continue
-                # reprojection refinement: pixel-space targets are free of
-                # the monocular depth error that dominates the 3D-3D fit.
-                # (A Schur-reduced two-view refine with free kf-side depths
-                # was tried and measured WORSE — short-baseline closures
-                # leave mono two-view geometry near-degenerate, so the
-                # fixed-structure symmetric form is the regularized one.)
-                refine = (
-                    self._refine_rel_depth
-                    if self.cfg.backend.loop_refine_depth_sigma > 0.0
-                    else self._refine_rel
-                )
-                rel = np.asarray(
-                    jax.device_get(refine(rel_d, pa_d, pb_d, v_d))
-                )
-                it, ir = self.cfg.backend.loop_edge_info
-                self.graph = graph_mod.add_edge(
-                    self.graph, old.index, kf.index, jnp.asarray(rel),
-                    info=jnp.asarray([it, it, it, ir, ir, ir], jnp.float32),
-                )
-                self.loop_closures.append((old.index, kf.index))
-                # Innovation gate (backend.loop_min_innovation): the edge
-                # is kept either way, but the INLINE optimize+correct only
-                # pays off when the measurement disagrees with the current
-                # graph — i.e. there is drift to remove. ~Agreeing
-                # closures (short-horizon revisits) are deferred to the
-                # final optimize.
-                gate = self.cfg.backend.loop_min_innovation
-                if gate > 0.0:
-                    pred = geometry.se3_between(
-                        jnp.asarray(old.pose), jnp.asarray(kf.pose)
-                    )
-                    xi = np.asarray(
-                        geometry.se3_log(
-                            geometry.se3_between(jnp.asarray(rel), pred)
-                        )
-                    )
-                    inno = float(
-                        np.linalg.norm(xi[:3]) + 3.0 * np.linalg.norm(xi[3:])
-                    )
-                    if inno < gate:
-                        continue
-                need_opt = True
+            need_opt = True
         return need_opt
 
     def _refine_rel_impl(self, rel0, pa, pb, valid):
