@@ -296,7 +296,11 @@ def _run_euroc_multisession(cfg, args, roots):
             prob = graph_mod.gate_outlier_obs(sys_.camera, prob, be.ba_outlier_px)
         if be.ba_max_obs_per_point > 0:
             prob = graph_mod.cap_obs_per_point(prob, be.ba_max_obs_per_point)
-        pe = sys_.graph_pose_edges() if be.ba_fuse_pose_graph else None
+        pe = (
+            sys_.graph_pose_edges(be.ba_pose_edge_weight)
+            if be.ba_fuse_pose_graph
+            else None
+        )
         solve = lambda: ba_mod.optimize_ba(  # noqa: E731
             sys_.camera, prob, iters=iters, lam=be.lm_damping_init,
             pcg_iters=be.pcg_iters,

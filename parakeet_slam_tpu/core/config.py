@@ -179,6 +179,11 @@ class BackendConfig:
     # embed the filter's drifted relative geometry — it descends cost
     # while UNDOING loop-closure corrections (r5 EuRoC: 0.575 -> 0.679 m).
     ba_fuse_pose_graph: bool = True
+    # Multiplier on the fused pose edges' information inside BA. The
+    # reprojection side has tens of thousands of residuals vs ~2 edges per
+    # keyframe — at 1.0 the graph terms are swamped and BA still drifts
+    # off the loop-closed solution (r5 EuRoC: 0.575 -> 0.667 m).
+    ba_pose_edge_weight: float = 30.0
     # Depth-relaxed closure refinement: >0 frees the kf-side point depths
     # during the reprojection refine with a relative Gaussian prior of
     # this sigma (fraction of the Horn depth). 0 = fixed structure.

@@ -387,7 +387,18 @@ class SLAMSystem:
             rel = geometry.se3_between(
                 jnp.asarray(prev.pose), jnp.asarray(est_pose)
             )
-            it, ir = self.cfg.backend.odom_edge_info
+            # Odometry-edge information scales with the ACTUAL odometry
+            # noise accumulated over the edge's frame span: sigma^2 =
+            # n_frames * odom_sigma^2 + estimate-jitter floor (the config
+            # odom_edge_info encodes the floor, measured 0.056 m on TUM).
+            # A fixed info is wildly wrong in the degraded-odometry regime
+            # (10x noise -> the graph overtrusts odometry 40x and closures
+            # cannot correct it).
+            df = max(kf.frame - prev.frame, 1)
+            it0, ir0 = self.cfg.backend.odom_edge_info
+            st, sr = self.cfg.data.odom_noise
+            it = 1.0 / (df * float(st) ** 2 + 1.0 / it0)
+            ir = 1.0 / (df * float(sr) ** 2 + 1.0 / ir0)
             self.graph = graph_mod.add_edge(
                 self.graph, kf.index - 1, kf.index, rel,
                 info=jnp.asarray([it, it, it, ir, ir, ir], jnp.float32),
@@ -1340,15 +1351,16 @@ class SLAMSystem:
             cam_fixed=cam_fixed,
         )
 
-    def graph_pose_edges(self):
+    def graph_pose_edges(self, weight: float = 1.0):
         """The pose graph's live edges as BA fusion terms
-        (edge_ij, edge_rel, edge_info, edge_valid) — None when empty."""
+        (edge_ij, edge_rel, edge_info * weight, edge_valid) — None when
+        empty."""
         ne = int(jax.device_get(self.graph.n_edges))
         if ne == 0:
             return None
         g = self.graph
         return (
-            g.edge_ij[:ne], g.edge_rel[:ne], g.edge_info[:ne],
+            g.edge_ij[:ne], g.edge_rel[:ne], g.edge_info[:ne] * weight,
             g.edge_valid[:ne],
         )
 
@@ -1400,7 +1412,7 @@ class SLAMSystem:
                 solver=be.solver if be.solver in ("pcg", "dense") else "pcg",
                 step_clamp=(be.ba_step_clamp_cam, be.ba_step_clamp_pt),
                 pose_edges=(
-                    self.graph_pose_edges()
+                    self.graph_pose_edges(be.ba_pose_edge_weight)
                     if be.ba_fuse_pose_graph
                     else None
                 ),
